@@ -1,0 +1,339 @@
+"""Datasets: common in-memory graph container, synthetic generators, and
+disk loaders for the reference's four datasets.
+
+Reference: ``AdaQP/helper/dataset.py`` (AmazonProducts/Yelp loaders) and
+``AdaQP/helper/partition.py:10-30`` (OGB -> masked graph). Downloads are NOT
+performed here (this environment has no egress); loaders read standard
+on-disk formats and raise informative errors when files are absent. All
+loaders normalize self-loops the way the reference partitioner does
+(remove + re-add, ``partition.py:58-60``) so every node carries exactly one
+self-edge.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class GraphData:
+    """Host-side (numpy) graph. Directed edge (src[i] -> dst[i]) carries a
+    message from src to dst; undirected datasets store both directions."""
+
+    num_nodes: int
+    src: np.ndarray  # int32 [E]
+    dst: np.ndarray  # int32 [E]
+    feats: np.ndarray  # f32 [N, F]
+    labels: np.ndarray  # int32 [N] (single-label) or f32 [N, C] (multilabel)
+    train_mask: np.ndarray  # bool [N]
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    num_classes: int
+    multilabel: bool = False
+    name: str = "graph"
+    # global degrees over the final (self-looped) edge list
+    in_degrees: np.ndarray = field(default=None, repr=False)
+    out_degrees: np.ndarray = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.in_degrees is None:
+            self.in_degrees = np.bincount(self.dst, minlength=self.num_nodes).astype(np.int64)
+        if self.out_degrees is None:
+            self.out_degrees = np.bincount(self.src, minlength=self.num_nodes).astype(np.int64)
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.src)
+
+    @property
+    def num_feats(self) -> int:
+        return self.feats.shape[1]
+
+    @property
+    def is_bidirected(self) -> bool:
+        return bool((self.in_degrees == self.out_degrees).all())
+
+
+def normalize_self_loops(src: np.ndarray, dst: np.ndarray, n: int):
+    """Remove existing self-loops, then add one per node (reference:
+    ``AdaQP/helper/partition.py:58-60``)."""
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    loop = np.arange(n, dtype=np.int32)
+    return (
+        np.concatenate([src, loop]).astype(np.int32),
+        np.concatenate([dst, loop]).astype(np.int32),
+    )
+
+
+def _dedup_and_symmetrize(src: np.ndarray, dst: np.ndarray, n: int):
+    """Symmetrize an edge list and drop duplicates (undirected dataset)."""
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    key = u.astype(np.int64) * n + v
+    _, idx = np.unique(key, return_index=True)
+    return u[idx].astype(np.int32), v[idx].astype(np.int32)
+
+
+def _split_masks(rng: np.random.Generator, n: int, train=0.6, val=0.2):
+    order = rng.permutation(n)
+    n_train, n_val = int(train * n), int(val * n)
+    tm = np.zeros(n, bool)
+    vm = np.zeros(n, bool)
+    sm = np.zeros(n, bool)
+    tm[order[:n_train]] = True
+    vm[order[n_train : n_train + n_val]] = True
+    sm[order[n_train + n_val :]] = True
+    return tm, vm, sm
+
+
+def sbm_graph(
+    n: int = 400,
+    blocks: int = 4,
+    p_in: float = 0.05,
+    p_out: float = 0.002,
+    num_feats: int = 16,
+    seed: int = 0,
+    multilabel: bool = False,
+) -> GraphData:
+    """Stochastic-block-model graph whose labels are the blocks — learnable by
+    a GNN, used as the correctness oracle graph (SURVEY.md §4b)."""
+    rng = np.random.default_rng(seed)
+    block = (np.arange(n) * blocks // n).astype(np.int32)
+    # sparse SBM sampling: per ordered pair of blocks sample bernoulli edges
+    srcs, dsts = [], []
+    for a in range(blocks):
+        ia = np.where(block == a)[0]
+        for b in range(blocks):
+            ib = np.where(block == b)[0]
+            p = p_in if a == b else p_out
+            m = rng.random((len(ia), len(ib))) < p
+            s, d = np.nonzero(m)
+            srcs.append(ia[s])
+            dsts.append(ib[d])
+    src = np.concatenate(srcs).astype(np.int32)
+    dst = np.concatenate(dsts).astype(np.int32)
+    src, dst = _dedup_and_symmetrize(src, dst, n)
+    src, dst = normalize_self_loops(src, dst, n)
+    feats = rng.normal(size=(n, num_feats)).astype(np.float32)
+    feats += np.eye(max(blocks, num_feats), num_feats, dtype=np.float32)[block] * 2.0
+    if multilabel:
+        labels = np.zeros((n, blocks), np.float32)
+        labels[np.arange(n), block] = 1.0
+        extra = rng.integers(0, blocks, n)
+        labels[np.arange(n), extra] = 1.0
+    else:
+        labels = block.astype(np.int32)
+    tm, vm, sm = _split_masks(rng, n)
+    return GraphData(
+        n, src, dst, feats, labels, tm, vm, sm, blocks, multilabel, f"sbm{n}"
+    )
+
+
+def rmat_graph(
+    n: int = 1 << 16,
+    avg_degree: int = 16,
+    num_feats: int = 128,
+    num_classes: int = 32,
+    seed: int = 0,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+) -> GraphData:
+    """R-MAT power-law graph at benchmark scale (synthetic stand-in for
+    Reddit/ogbn-products; no dataset download possible in this environment)."""
+    rng = np.random.default_rng(seed)
+    e = n * avg_degree
+    scale = int(np.ceil(np.log2(n)))
+    src = np.zeros(e, np.int64)
+    dst = np.zeros(e, np.int64)
+    for level in range(scale):
+        r = rng.random(e)
+        s_bit = (r >= a + b).astype(np.int64)  # bottom half
+        r2 = rng.random(e)
+        d_bit = np.where(
+            s_bit == 0, (r2 >= a / (a + b)).astype(np.int64), (r2 >= c / (1 - a - b)).astype(np.int64)
+        )
+        src = (src << 1) | s_bit
+        dst = (dst << 1) | d_bit
+    src = (src % n).astype(np.int32)
+    dst = (dst % n).astype(np.int32)
+    src, dst = _dedup_and_symmetrize(src, dst, n)
+    src, dst = normalize_self_loops(src, dst, n)
+    feats = rng.normal(size=(n, num_feats)).astype(np.float32)
+    labels = rng.integers(0, num_classes, n).astype(np.int32)
+    tm, vm, sm = _split_masks(rng, n)
+    return GraphData(
+        n, src, dst, feats, labels, tm, vm, sm, num_classes, False, f"rmat{n}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# disk loaders for the reference's datasets
+# ---------------------------------------------------------------------------
+
+
+def _require(path: str, dataset: str, hint: str):
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{dataset}: required file {path!r} not found. This environment "
+            f"cannot download datasets; place the raw files there first. {hint}"
+        )
+
+
+def load_reddit(raw_dir: str) -> GraphData:
+    """Reddit from the standard DGL raw archives (`reddit_data.npz` +
+    `reddit_graph.npz`)."""
+    import scipy.sparse as sp
+
+    data_p = os.path.join(raw_dir, "reddit_data.npz")
+    graph_p = os.path.join(raw_dir, "reddit_graph.npz")
+    _require(data_p, "reddit", "Expected DGL-format reddit_data.npz/reddit_graph.npz.")
+    _require(graph_p, "reddit", "Expected DGL-format reddit_graph.npz.")
+    data = np.load(data_p)
+    adj = sp.load_npz(graph_p).tocoo()
+    n = data["feature"].shape[0]
+    src, dst = adj.row.astype(np.int32), adj.col.astype(np.int32)
+    src, dst = normalize_self_loops(src, dst, n)
+    types = data["node_types"]  # 1=train 2=val 3=test
+    return GraphData(
+        n,
+        src,
+        dst,
+        data["feature"].astype(np.float32),
+        data["label"].astype(np.int32),
+        types == 1,
+        types == 2,
+        types == 3,
+        41,
+        False,
+        "reddit",
+    )
+
+
+def load_yelp(raw_dir: str) -> GraphData:
+    """Yelp from GraphSAINT raw files (`adj_full.npz`, `feats.npy`,
+    `class_map.json`, `role.json`) — reference: ``dataset.py:123-161``
+    (StandardScaler fit on train feats only)."""
+    import scipy.sparse as sp
+
+    for f in ("adj_full.npz", "feats.npy", "class_map.json", "role.json"):
+        _require(os.path.join(raw_dir, f), "yelp", "GraphSAINT raw format.")
+    adj = sp.load_npz(os.path.join(raw_dir, "adj_full.npz")).tocoo()
+    feats = np.load(os.path.join(raw_dir, "feats.npy")).astype(np.float32)
+    with open(os.path.join(raw_dir, "class_map.json")) as f:
+        class_map = json.load(f)
+    with open(os.path.join(raw_dir, "role.json")) as f:
+        role = json.load(f)
+    n = feats.shape[0]
+    labels = np.zeros((n, len(next(iter(class_map.values())))), np.float32)
+    for k, v in class_map.items():
+        labels[int(k)] = v
+    tm = np.zeros(n, bool)
+    vm = np.zeros(n, bool)
+    sm = np.zeros(n, bool)
+    tm[role["tr"]] = True
+    vm[role["va"]] = True
+    sm[role["te"]] = True
+    assert not (tm & vm).any() and not (tm & sm).any() and not (vm & sm).any()
+    assert (tm | vm | sm).all()
+    # scale by train statistics only (reference: dataset.py:155-158)
+    mu = feats[tm].mean(0)
+    sd = feats[tm].std(0)
+    feats = (feats - mu) / np.maximum(sd, 1e-8)
+    src, dst = adj.row.astype(np.int32), adj.col.astype(np.int32)
+    src, dst = normalize_self_loops(src, dst, n)
+    return GraphData(
+        n, src, dst, feats, labels, tm, vm, sm, labels.shape[1], True, "yelp"
+    )
+
+
+def load_amazon_products(raw_dir: str) -> GraphData:
+    """AmazonProducts (GraphSAINT raw format; 107-class multilabel) —
+    reference: ``dataset.py:50-120`` (which additionally RCMK-reorders; we
+    apply RCM too for SpMM locality)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    for f in ("adj_full.npz", "feats.npy", "class_map.json", "role.json"):
+        _require(os.path.join(raw_dir, f), "amazonProducts", "GraphSAINT raw format.")
+    data = load_yelp(raw_dir)
+    data.name = "amazonProducts"
+    adj = sp.coo_matrix(
+        (np.ones(len(data.src)), (data.src, data.dst)), shape=(data.num_nodes,) * 2
+    ).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    data.src = inv[data.src].astype(np.int32)
+    data.dst = inv[data.dst].astype(np.int32)
+    data.feats = data.feats[perm]
+    data.labels = data.labels[perm]
+    data.train_mask = data.train_mask[perm]
+    data.val_mask = data.val_mask[perm]
+    data.test_mask = data.test_mask[perm]
+    data.in_degrees = data.in_degrees[perm]
+    data.out_degrees = data.out_degrees[perm]
+    return data
+
+
+def load_ogbn_products(raw_dir: str) -> GraphData:
+    """ogbn-products via the `ogb` package if installed, else raw csv/npz."""
+    try:
+        from ogb.nodeproppred import NodePropPredDataset  # type: ignore
+    except ImportError as exc:
+        raise FileNotFoundError(
+            "ogbn-products requires the `ogb` package (not installed here) or "
+            "a pre-partitioned cache; use adaqp_tpu.graph to preprocess on a "
+            "machine with ogb available."
+        ) from exc
+    ds = NodePropPredDataset("ogbn-products", root=raw_dir)
+    graph, labels = ds[0]
+    split = ds.get_idx_split()
+    n = graph["num_nodes"]
+    src, dst = graph["edge_index"].astype(np.int32)
+    src, dst = _dedup_and_symmetrize(src, dst, n)
+    src, dst = normalize_self_loops(src, dst, n)
+    tm = np.zeros(n, bool)
+    vm = np.zeros(n, bool)
+    sm = np.zeros(n, bool)
+    tm[split["train"]] = True
+    vm[split["valid"]] = True
+    sm[split["test"]] = True
+    return GraphData(
+        n,
+        src,
+        dst,
+        graph["node_feat"].astype(np.float32),
+        labels.squeeze().astype(np.int32),
+        tm,
+        vm,
+        sm,
+        47,
+        False,
+        "ogbn-products",
+    )
+
+
+_LOADERS = {
+    "reddit": load_reddit,
+    "yelp": load_yelp,
+    "amazonProducts": load_amazon_products,
+    "ogbn-products": load_ogbn_products,
+}
+
+
+def load_dataset(name: str, raw_dir: str, **synth_kwargs) -> GraphData:
+    """Load a named dataset; names prefixed ``sbm``/``rmat`` build synthetic
+    graphs (e.g. for CI and benchmarking without dataset downloads)."""
+    if name.startswith("sbm"):
+        return sbm_graph(**synth_kwargs)
+    if name.startswith("rmat"):
+        return rmat_graph(**synth_kwargs)
+    if name not in _LOADERS:
+        raise ValueError(f"unknown dataset {name!r}; known: {sorted(_LOADERS)} or sbm*/rmat*")
+    return _LOADERS[name](raw_dir)

@@ -1,0 +1,124 @@
+"""Pallas TPU kernels for stochastic message quantization.
+
+Fused per-row-block: min/max reduction -> scale -> hardware-PRNG stochastic
+rounding -> uint8 codes, in one VMEM pass (the TPU replacement for the
+reference's ``quant_cuda.pack_single_precision`` CUDA kernel,
+``src/quantization_cuda_kernel.cu:35-103``; Philox RNG becomes the TPU
+per-core PRNG via ``pltpu.prng_random_bits``).
+
+Semantics are identical to the portable jnp path in ``quant.py`` (same
+``scale = (2^b-1)/(rmax-rmin)``, same ``floor(y + u)`` stochastic rounding);
+only the random stream differs. Sub-byte bit-packing happens outside the
+kernel in XLA (``quant.pack_rows``) — the packed stream's byte count is tiny
+relative to the f32 input, so the extra HBM pass is noise; keeping packing in
+XLA lets it fuse with the all-to-all staging copy.
+
+Row blocks of 256 keep uint8 tiles aligned (int8 min tile is (32, 128));
+callers pad N to a multiple of the block.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BLOCK = 256
+_RANGE_EPS = 1e-10
+
+
+def _quant_kernel(bits: int, seed_ref, x_ref, q_ref, scale_ref, rmin_ref):
+    # Decorrelate blocks by passing the grid position as a second seed word
+    # (the TPU PRNG hashes all seed words; adjacent integer seeds would
+    # otherwise yield correlated streams).
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    rmin = jnp.min(x, axis=1, keepdims=True)
+    rmax = jnp.max(x, axis=1, keepdims=True)
+    scale = (2.0**bits - 1.0) / jnp.maximum(rmax - rmin, _RANGE_EPS)
+    y = (x - rmin) * scale
+    rb = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
+    # Low 24 bits -> uniform in [0, 1) with full f32 mantissa coverage
+    # (int32 path: Mosaic has no uint32->f32 cast).
+    u = (rb & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+    q = jnp.clip(jnp.floor(y + u), 0.0, 2.0**bits - 1.0)
+    # Mosaic lacks direct f32->u8 casts; hop through int32.
+    q_ref[:] = q.astype(jnp.int32).astype(jnp.uint8)
+    scale_ref[:] = scale
+    rmin_ref[:] = rmin
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "interpret"))
+def quantize_rows_tpu(
+    x: jnp.ndarray, bits: int, seed: jnp.ndarray, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Quantize rows of ``x`` [N, F] (N % ROW_BLOCK == 0).
+
+    Returns ``(q uint8 [N, F], scale f32 [N], rmin f32 [N])`` — same contract
+    as ``quant.quantize_rows`` but seeded by an int32 scalar (TPU hardware
+    PRNG) instead of a jax PRNG key.
+    """
+    n, f = x.shape
+    if n % ROW_BLOCK:
+        raise ValueError(f"row count {n} must be a multiple of {ROW_BLOCK}")
+    grid = (n // ROW_BLOCK,)
+    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    q, scale, rmin = pl.pallas_call(
+        functools.partial(_quant_kernel, bits),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ROW_BLOCK, f), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ROW_BLOCK, f), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, f), jnp.uint8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_arr, x)
+    return q, scale[:, 0], rmin[:, 0]
+
+
+def _dequant_kernel(q_ref, scale_ref, rmin_ref, out_ref):
+    scale = scale_ref[:].astype(jnp.float32)
+    rmin = rmin_ref[:].astype(jnp.float32)
+    # u8 -> i32 -> f32 (Mosaic lacks direct u8->f32 casts)
+    out_ref[:] = q_ref[:].astype(jnp.int32).astype(jnp.float32) / scale + rmin
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dequantize_rows_tpu(
+    q: jnp.ndarray, scale: jnp.ndarray, rmin: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Dequantize uint8 codes [N, F] with per-row (scale, rmin) -> f32 [N, F].
+
+    TPU replacement for ``quant_cuda.unpack_single_precision``'s dequant step
+    (``quantization_cuda_kernel.cu:107-122``).
+    """
+    n, f = q.shape
+    if n % ROW_BLOCK:
+        raise ValueError(f"row count {n} must be a multiple of {ROW_BLOCK}")
+    grid = (n // ROW_BLOCK,)
+    return pl.pallas_call(
+        _dequant_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
+        interpret=interpret,
+    )(q, scale.reshape(n, 1), rmin.reshape(n, 1))

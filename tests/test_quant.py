@@ -1,0 +1,111 @@
+"""Quantization unit tests (SURVEY.md §4a).
+
+Checks: round-trip error bound |x - dq(q(x))| <= 1/scale (+ bf16 param slack),
+unbiasedness of stochastic rounding, pack/unpack exactness, qsize arithmetic,
+and Pallas-kernel semantics (interpret mode on CPU).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaqp_tpu.ops import quant
+from adaqp_tpu.ops import quant_pallas
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_roundtrip_error_bound(bits, rng):
+    n, f = 64, 96
+    x = jnp.asarray(rng.normal(size=(n, f)) * 3.0, dtype=jnp.float32)
+    q, scale, rmin = quant.quantize_rows(x, bits, jax.random.PRNGKey(0))
+    xh = quant.dequantize_rows(q, scale, rmin, bits)
+    # one quantization step per element
+    step = 1.0 / np.asarray(scale)
+    err = np.abs(np.asarray(xh - x))
+    assert (err <= step[:, None] * (1.0 + 1e-5)).all()
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_deterministic_rounding_half_step(bits, rng):
+    n, f = 16, 32
+    x = jnp.asarray(rng.normal(size=(n, f)), dtype=jnp.float32)
+    q, scale, rmin = quant.quantize_rows(x, bits, jax.random.PRNGKey(0), stochastic=False)
+    xh = quant.dequantize_rows(q, scale, rmin, bits)
+    step = 1.0 / np.asarray(scale)
+    err = np.abs(np.asarray(xh - x))
+    assert (err <= 0.5 * step[:, None] * (1.0 + 1e-5)).all()
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_stochastic_unbiased(bits):
+    # E[dequant(quant(x))] == x  (reference kernel property,
+    # quantization_cuda_kernel.cu:47-48)
+    n, f, reps = 8, 16, 400
+    x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, size=(n, f)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(42), reps)
+
+    def one(k):
+        q, s, m = quant.quantize_rows(x, bits, k)
+        return quant.dequantize_rows(q, s, m, bits)
+
+    mean = jnp.mean(jax.vmap(one)(keys), axis=0)
+    step = 1.0 / ((2.0**bits - 1.0) / (x.max(axis=1) - x.min(axis=1)))
+    # Var of stochastic rounding = step^2 * f(1-f), mean 1/6 over uniform f;
+    # CLT bound: std of mean ~ step/sqrt(6*reps); allow 5 sigma
+    tol = 5.0 * np.asarray(step)[:, None] / np.sqrt(6.0 * reps)
+    assert np.abs(np.asarray(mean - x)).max() <= tol.max()
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_pack_unpack_exact(bits, rng):
+    n = 32
+    f_pad = quant.pad_features(601, bits)
+    q = jnp.asarray(
+        rng.integers(0, 2**bits, size=(n, f_pad)), dtype=jnp.uint8
+    )
+    p = quant.pack_rows(q, bits)
+    assert p.shape == (n, quant.bytes_per_row(f_pad, bits))
+    q2 = quant.unpack_rows(p, bits, f_pad)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q2))
+
+
+def test_qsize_arithmetic():
+    # reference analog: get_qsize byte math (buffer.py:181-186)
+    assert quant.bytes_per_row(608, 2) == 152
+    assert quant.bytes_per_row(608, 4) == 304
+    assert quant.bytes_per_row(608, 8) == 608
+    assert quant.pad_features(601, 2) == 604
+    assert quant.pad_features(601, 4) == 602
+    assert quant.pad_features(601, 8) == 601
+    assert quant.values_per_byte(2) == 4
+    with pytest.raises(ValueError):
+        quant.values_per_byte(3)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_message_roundtrip_bf16_params(bits, rng):
+    n, f = 32, quant.pad_features(60, bits)
+    x = jnp.asarray(rng.normal(size=(n, f)), dtype=jnp.float32)
+    wire, params = quant.message_quantize(x, bits, jax.random.PRNGKey(3))
+    assert params.dtype == jnp.bfloat16 and params.shape == (n, 2)
+    xh = quant.message_dequantize(wire, params, bits, f)
+    step = np.asarray(
+        (x.max(axis=1) - x.min(axis=1)) / (2.0**bits - 1.0)
+    )
+    # bf16 params add ~2^-8 relative error on scale/rmin
+    rmax_abs = np.abs(np.asarray(x)).max(axis=1)
+    tol = step * 1.05 + rmax_abs * 2**-7
+    err = np.abs(np.asarray(xh - x))
+    assert (err <= tol[:, None]).all()
+
+
+def test_pallas_dequant_interpret(rng):
+    # The quantize kernel needs the TPU hardware PRNG (not interpretable on
+    # CPU; covered by tests_tpu/test_pallas_tpu.py on real hardware). The
+    # dequant kernel is PRNG-free and interpretable here.
+    n, f = quant_pallas.ROW_BLOCK, 40
+    x = jnp.asarray(rng.normal(size=(n, f)), dtype=jnp.float32)
+    q, scale, rmin = quant.quantize_rows(x, 4, jax.random.PRNGKey(0))
+    xh = quant_pallas.dequantize_rows_tpu(q, scale, rmin, interpret=True)
+    ref = quant.dequantize_rows(q, scale, rmin, 4)
+    np.testing.assert_allclose(np.asarray(xh), np.asarray(ref), rtol=1e-6, atol=1e-6)
