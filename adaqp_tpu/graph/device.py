@@ -1,0 +1,138 @@
+"""Device-side shard containers: PartitionLayout -> stacked jnp arrays
+sharded over the ``('part',)`` mesh.
+
+The reference's ``GraphEngine`` singleton (``AdaQP/manager/graphEngine.py``)
+becomes two explicit objects: a :class:`ShardArrays` pytree (device data,
+leading ``part`` axis) and a :class:`ShardStatic` hashable config that jit
+specializes on. No global state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.types import AggregatorType, GNNType, Mode
+from .layout import PartitionLayout
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "feats",
+        "labels",
+        "train_mask",
+        "val_mask",
+        "test_mask",
+        "deg_in",
+        "deg_out",
+        "fl_src",
+        "fl_dst",
+        "fh_src",
+        "fh_dst",
+        "send_idx",
+        "recv_slot",
+        "num_local",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ShardArrays:
+    """Per-partition device data, stacked on a leading ``[K, ...]`` axis
+    outside shard_map (each shard sees ``[1, ...]`` slices inside — use
+    :meth:`local` to drop the axis)."""
+
+    feats: jnp.ndarray  # f32 [K, L, F]
+    labels: jnp.ndarray  # i32 [K, L] or f32 [K, L, C]
+    train_mask: jnp.ndarray  # bool [K, L]
+    val_mask: jnp.ndarray
+    test_mask: jnp.ndarray
+    deg_in: jnp.ndarray  # f32 [K, L + R]
+    deg_out: jnp.ndarray
+    fl_src: jnp.ndarray  # i32 [K, E_lc]  forward local-src edges
+    fl_dst: jnp.ndarray
+    fh_src: jnp.ndarray  # i32 [K, E_hl]  forward halo-src edges (src = remote SLOT)
+    fh_dst: jnp.ndarray
+    send_idx: jnp.ndarray  # i32 [K, K, S]
+    recv_slot: jnp.ndarray  # i32 [K, K, S]
+    num_local: jnp.ndarray  # i32 [K]
+
+    def local(self) -> "ShardArrays":
+        """Drop the leading per-shard axis (inside shard_map)."""
+        return ShardArrays(*(getattr(self, f.name)[0] for f in dataclasses.fields(self)))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardStatic:
+    """Hashable static configuration for the sharded compute graph."""
+
+    k: int
+    l_max: int
+    r_pad: int
+    s_pad: int
+    f_pad: int
+    num_classes: int
+    multilabel: bool
+    model: GNNType = GNNType.GCN
+    agg_type: AggregatorType = AggregatorType.MEAN
+    mode: Mode = Mode.VANILLA
+    num_layers: int = 3
+    hidden: int = 256
+    dropout: float = 0.5
+    use_norm: bool = True
+    axis: str = "part"
+    edge_chunk: Optional[int] = None  # None -> one-shot segment_sum
+
+
+def shard_arrays_from_layout(layout: PartitionLayout) -> ShardArrays:
+    """Stacked numpy -> ShardArrays (not yet device_put)."""
+    fh_src = layout.fwd_halo[0] - layout.l_max  # store halo srcs as SLOTS
+    fh_src = np.where(layout.fwd_halo[1] < layout.l_max, fh_src, 0).astype(np.int32)
+    return ShardArrays(
+        feats=jnp.asarray(layout.feats),
+        labels=jnp.asarray(layout.labels),
+        train_mask=jnp.asarray(layout.train_mask),
+        val_mask=jnp.asarray(layout.val_mask),
+        test_mask=jnp.asarray(layout.test_mask),
+        deg_in=jnp.asarray(layout.deg_in_fwd),
+        deg_out=jnp.asarray(layout.deg_out_fwd),
+        fl_src=jnp.asarray(layout.fwd_local[0]),
+        fl_dst=jnp.asarray(layout.fwd_local[1]),
+        fh_src=jnp.asarray(fh_src),
+        fh_dst=jnp.asarray(layout.fwd_halo[1]),
+        send_idx=jnp.asarray(layout.plan_fwd.send_idx),
+        recv_slot=jnp.asarray(layout.plan_fwd.recv_slot),
+        num_local=jnp.asarray(layout.num_local, dtype=jnp.int32),
+    )
+
+
+def static_from_layout(layout: PartitionLayout, **overrides) -> ShardStatic:
+    cfg = ShardStatic(
+        k=layout.k,
+        l_max=layout.l_max,
+        r_pad=layout.plan_fwd.r_pad,
+        s_pad=layout.plan_fwd.s_pad,
+        f_pad=layout.num_feats,
+        num_classes=layout.num_classes,
+        multilabel=layout.multilabel,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def make_mesh(k: int) -> jax.sharding.Mesh:
+    devs = jax.devices()
+    if len(devs) < k:
+        raise ValueError(
+            f"need {k} devices for {k} partitions, have {len(devs)} "
+            f"(tests use XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
+    return jax.sharding.Mesh(np.array(devs[:k]), ("part",))
+
+
+def put_sharded(arrays: ShardArrays, mesh: jax.sharding.Mesh) -> ShardArrays:
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("part"))
+    return jax.tree.map(lambda x: jax.device_put(x, spec), arrays)

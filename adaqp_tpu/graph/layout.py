@@ -48,13 +48,15 @@ class ExchangePlan:
     """Boundary exchange pattern for one direction (fwd or bwd).
 
     ``send_idx[s, r, j]`` = sender-side local slot of the j-th node s sends
-    to r (0-padded; ``counts[s, r]`` valid lanes). ``recv_slot[s, r, j]`` =
-    receiver-side remote slot that lane lands in (sentinel ``R_pad`` pads —
-    dropped by scatter). Scores are sender-side, lane-aligned.
+    to r (0-padded; ``counts[s, r]`` valid lanes) — SENDER-major, so sharding
+    on axis 0 gives each shard its own gather map. ``recv_slot[r, s, j]`` =
+    receiver-side remote slot where the j-th lane from s lands (sentinel
+    ``R_pad`` pads — dropped by scatter) — RECEIVER-major, same reason.
+    Scores are sender-side, lane-aligned with ``send_idx``.
     """
 
-    send_idx: np.ndarray  # int32 [K, K, S_pad]
-    recv_slot: np.ndarray  # int32 [K, K, S_pad]
+    send_idx: np.ndarray  # int32 [K(sender), K(receiver), S_pad]
+    recv_slot: np.ndarray  # int32 [K(receiver), K(sender), S_pad]
     counts: np.ndarray  # int64 [K, K]
     num_remote: np.ndarray  # int64 [K]
     scores_fp: np.ndarray  # f32 [K, K, S_pad]
@@ -187,7 +189,7 @@ def _build_plan(
             c = len(nodes)
             remote_global[r, offset : offset + c] = nodes
             send_idx[s, r, :c] = local_slot[nodes]
-            recv_slot[s, r, :c] = np.arange(offset, offset + c, dtype=np.int32)
+            recv_slot[r, s, :c] = np.arange(offset, offset + c, dtype=np.int32)
             fp_map = fp_acc.get((s, r), {})
             bp_map = bp_acc.get((s, r), {})
             scores_fp[s, r, :c] = [fp_map.get(int(u), 0.0) for u in nodes]

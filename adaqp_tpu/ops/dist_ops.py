@@ -1,0 +1,100 @@
+"""Distributed GNN aggregation — the TPU-native analog of the reference's
+autograd ops layer (``AdaQP/model/ops.py``).
+
+One function, :func:`dist_aggregate`, covers the reference's four run modes
+(``trainer.py:14-20``):
+
+- exchange precision: fp32 (`Vanilla`/`AdaQP-p`) vs quantized
+  (`AdaQP`/`AdaQP-q`), chosen by ``cfg.mode`` and ``train`` (evaluation
+  always runs full precision, as in ``op_util.py:150-151``);
+- overlap: the aggregation is decomposed by EDGE SOURCE into a local-src
+  segment sum (independent of the exchange) and a halo-src segment sum
+  (consumes exchanged rows). In overlapped modes XLA's async collectives
+  hide the all-to-all behind the local aggregation; in non-overlapped modes
+  an ``optimization_barrier`` forces the reference's serial schedule
+  (exchange, then aggregate — ``ops.py:132-154``).
+
+Backward passes come from JAX AD: the exchange carries a custom VJP that
+transposes the routing (see ``comm/exchange.py``), and segment-sum
+transposes reproduce the reference's reverse-graph aggregation
+(``ops.py:17-67``) exactly for bidirected graphs and correctly for directed
+ones.
+
+Aggregation math (reference ``ops.py:17-67``, global degrees clamped >= 1):
+
+- GCN      : out = D_in^-1/2 * A^T * (D_out^-1/2 * h)
+- SAGE mean: out = (A^T h) / d_in
+- SAGE gcn : out = (A^T h + h) / (d_in + 1)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..comm.exchange import exchange_fp, exchange_quant, variance_proxy
+from ..common.types import AggregatorType, GNNType, Mode
+from ..graph.device import ShardArrays, ShardStatic
+from .spmm import segment_spmm, spmm_csr
+
+
+def _seg(src, dst, h, num_out, chunk):
+    if chunk is None:
+        return segment_spmm(src, dst, None, h, num_out)
+    return spmm_csr(src, dst, None, h, num_out, chunk)
+
+
+def dist_aggregate(
+    h: jnp.ndarray,
+    sh: ShardArrays,
+    cfg: ShardStatic,
+    sink: jnp.ndarray,
+    keys: Optional[jnp.ndarray],
+    train: bool,
+    quant_buckets=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregate features/embeddings across the partitioned graph.
+
+    ``h`` [L, F] per-shard local rows (called inside shard_map); ``sink``
+    [r_pad] gradient tap (backward variance trace); ``keys`` stacked
+    (fwd, bwd) PRNG keys for quantized mode; ``quant_buckets``
+    (bucket_bits, bucket_arrays) from the assigner, or None for fp.
+
+    Returns ``(out [L, F], fwd_trace [K, S])`` where fwd_trace is the
+    per-sent-lane variance proxy (reference ``@trace_input``,
+    ``op_util.py:91-99``).
+    """
+    quantized = cfg.mode.quantized and train and quant_buckets is not None
+    fwd_trace = variance_proxy(h[sh.send_idx], h.shape[1])
+
+    if quantized:
+        bucket_bits, bucket_arrays = quant_buckets
+        remote = exchange_quant(
+            h, keys, sink, bucket_arrays, bucket_bits, cfg.r_pad, h.shape[1], cfg.axis
+        )
+    else:
+        remote = exchange_fp(h, sh.send_idx, sh.recv_slot, sink, cfg.r_pad, cfg.axis)
+
+    if not cfg.mode.overlapped:
+        # serialize: local aggregation must wait for the exchange (Vanilla /
+        # AdaQP-q schedule, reference ops.py:132-154)
+        h, remote = jax.lax.optimization_barrier((h, remote))
+
+    l = cfg.l_max
+    if cfg.model is GNNType.GCN:
+        hs_local = h * jax.lax.rsqrt(sh.deg_out[:l])[:, None]
+        hs_remote = remote * jax.lax.rsqrt(sh.deg_out[l:])[:, None]
+        agg = _seg(sh.fl_src, sh.fl_dst, hs_local, l, cfg.edge_chunk)
+        agg = agg + _seg(sh.fh_src, sh.fh_dst, hs_remote, l, cfg.edge_chunk)
+        out = agg * jax.lax.rsqrt(sh.deg_in[:l])[:, None]
+    elif cfg.model is GNNType.SAGE:
+        agg = _seg(sh.fl_src, sh.fl_dst, h, l, cfg.edge_chunk)
+        agg = agg + _seg(sh.fh_src, sh.fh_dst, remote, l, cfg.edge_chunk)
+        if cfg.agg_type is AggregatorType.MEAN:
+            out = agg / sh.deg_in[:l, None]
+        else:  # 'gcn' aggregator (reference ops.py:41-46)
+            out = (agg + h) / (sh.deg_in[:l, None] + 1.0)
+    else:
+        raise ValueError(f"unknown model {cfg.model}")
+    return out, fwd_trace

@@ -7,13 +7,21 @@ gives shard_map/all_to_all paths 8 fake devices without TPU hardware
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment ships JAX_PLATFORMS=axon (TPU tunnel);
+# the test suite must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU backend at interpreter start
+# regardless of JAX_PLATFORMS; this forces the virtual CPU mesh anyway.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -45,10 +45,10 @@ def test_layout_invariants(graph, method, k):
                 continue
             c = int(plan.counts[s, r])
             sent_global = lay.local_ids[s][plan.send_idx[s, r, :c]]
-            slots = plan.recv_slot[s, r, :c]
+            slots = plan.recv_slot[r, s, :c]
             np.testing.assert_array_equal(rg[slots], sent_global)
             # padding lanes point at the drop sentinel
-            assert (plan.recv_slot[s, r, c:] == plan.r_pad).all()
+            assert (plan.recv_slot[r, s, c:] == plan.r_pad).all()
 
     # marginal definition: every halo edge's dst is a marginal node
     for p in range(k):
