@@ -1,0 +1,277 @@
+"""Adaptive bit-width assigner — variance-vs-communication-time MILP.
+
+Reference: ``AdaQP/assigner/assigner.py`` (436 LoC, PuLP + Gurobi/CBC).
+Re-designed for the TPU runtime:
+
+- traces arrive functionally (forward from the model's aux outputs,
+  backward from the exchange gradient taps) instead of a tracing singleton;
+- the solver is scipy/HiGHS (``scipy.optimize.milp``) — no Gurobi license
+  machinery;
+- the time objective models a single all-to-all makespan ``Z >= alpha *
+  MB_c + beta`` per channel instead of the reference's gloo ring-round
+  makespan variables (``assigner.py:364-377``), because the TPU exchange IS
+  one all-to-all (SURVEY.md §7.3);
+- there is no ``gather_object``/``scatter_object_list`` round trip
+  (``assigner.py:262-292``): the single JAX controller already holds all
+  channels' statistics.
+
+Math kept from the reference:
+
+- per-message combined variance ``score^2 * traced_variance``
+  (``assigner.py:162-212``) with ``bits_cost(b) = 1/(2^b-1)^2``
+  (``assigner.py:29``);
+- messages sorted by combined variance descending and grouped into
+  ``group_size`` chunks per channel; one bit-width per group;
+- objective ``lambda * Vnorm(sum var) + (1-lambda) * Tnorm(makespan)``
+  with magnitude normalization (``assigner.py:312-431``);
+- one independent problem per layer-direction: forward 0..L-1, backward
+  1..L-1 (2L-1 solves, ``assigner.py:275-285``).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy.optimize import LinearConstraint, Bounds, milp
+
+from ..common.types import BITS_SET
+from ..graph.layout import ExchangePlan
+from .assignment import Assignment, uniform_assignment
+
+logger = logging.getLogger("adaqp_tpu")
+
+
+def bits_cost(b: int) -> float:
+    """Quantization-variance multiplier per bit-width (reference
+    ``assigner.py:29``)."""
+    return 1.0 / (2.0**b - 1.0) ** 2
+
+
+@dataclass
+class AssignerConfig:
+    group_size: int = 100
+    coe_lambda: float = 0.5
+    assign_bits: int = 8  # uniform bootstrap width
+    wire_feats: int = 0  # packed feature dim on the wire (f_pad)
+    param_bytes: int = 4  # bf16 (scale, rmin) per message
+    time_limit_s: float = 20.0
+
+
+@dataclass
+class ChannelProblem:
+    """One channel's grouped statistics for a layer-direction."""
+
+    key: Tuple[int, int]  # (sender, receiver) for fwd; (receiver, owner) for bwd
+    group_lanes: List[np.ndarray]  # lane (or slot) indices per group
+    group_var: np.ndarray  # [G] summed combined variance per group
+    group_count: np.ndarray  # [G] messages per group
+
+
+def _group_channel(
+    combined: np.ndarray, lanes: np.ndarray, group_size: int
+) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray]:
+    order = np.argsort(-combined)
+    lanes_sorted = lanes[order]
+    var_sorted = combined[order]
+    groups, gvar, gcount = [], [], []
+    for i in range(0, len(lanes_sorted), group_size):
+        sl = slice(i, i + group_size)
+        groups.append(lanes_sorted[sl])
+        gvar.append(var_sorted[sl].sum())
+        gcount.append(len(lanes_sorted[sl]))
+    return groups, np.asarray(gvar), np.asarray(gcount, np.int64)
+
+
+def _solve_direction(
+    problems: List[ChannelProblem],
+    cfg: AssignerConfig,
+    alpha: float,
+    beta: float,
+) -> Dict[Tuple[int, int], np.ndarray]:
+    """Solve one layer-direction MILP; returns per-channel array of group
+    bit choices (len == #groups)."""
+    if not problems:
+        return {}
+    nb = len(BITS_SET)
+    # bytes per message at width b: packed features + params overhead
+    msg_bytes = {
+        b: cfg.wire_feats * b / 8.0 + cfg.param_bytes for b in BITS_SET
+    }
+    # flatten variables x[c, g, b]
+    var_index = {}
+    idx = 0
+    for ci, pr in enumerate(problems):
+        for g in range(len(pr.group_var)):
+            for bi in range(nb):
+                var_index[(ci, g, bi)] = idx
+                idx += 1
+    z_idx = idx
+    n_vars = idx + 1
+
+    # normalizers (magnitude normalization, reference assigner.py:404-419)
+    v_max = sum(
+        pr.group_var.sum() * bits_cost(min(BITS_SET)) for pr in problems
+    )
+    t_max = alpha * max(
+        (pr.group_count.sum() * msg_bytes[max(BITS_SET)]) / 1e6 for pr in problems
+    ) + beta
+    v_max = max(v_max, 1e-12)
+    t_max = max(t_max, 1e-12)
+
+    c = np.zeros(n_vars)
+    for ci, pr in enumerate(problems):
+        for g, gv in enumerate(pr.group_var):
+            for bi, b in enumerate(BITS_SET):
+                c[var_index[(ci, g, bi)]] = cfg.coe_lambda * gv * bits_cost(b) / v_max
+    c[z_idx] = (1.0 - cfg.coe_lambda) / t_max
+
+    constraints = []
+    # one bit per group
+    for ci, pr in enumerate(problems):
+        for g in range(len(pr.group_var)):
+            row = np.zeros(n_vars)
+            for bi in range(nb):
+                row[var_index[(ci, g, bi)]] = 1.0
+            constraints.append(LinearConstraint(row, 1.0, 1.0))
+    # makespan: alpha * MB_c + beta <= Z  for every channel
+    for ci, pr in enumerate(problems):
+        row = np.zeros(n_vars)
+        for g, cnt in enumerate(pr.group_count):
+            for bi, b in enumerate(BITS_SET):
+                row[var_index[(ci, g, bi)]] = alpha * cnt * msg_bytes[b] / 1e6
+        row[z_idx] = -1.0
+        constraints.append(LinearConstraint(row, -np.inf, -beta))
+
+    integrality = np.ones(n_vars)
+    integrality[z_idx] = 0
+    lb = np.zeros(n_vars)
+    ub = np.ones(n_vars)
+    ub[z_idx] = np.inf
+    res = milp(
+        c,
+        constraints=constraints,
+        integrality=integrality,
+        bounds=Bounds(lb, ub),
+        options={"time_limit": cfg.time_limit_s},
+    )
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    if res.x is None:
+        logger.warning("MILP infeasible/timeout; falling back to uniform %d-bit", cfg.assign_bits)
+        for pr in problems:
+            out[pr.key] = np.full(len(pr.group_var), cfg.assign_bits, np.int32)
+        return out
+    x = np.round(res.x)
+    for ci, pr in enumerate(problems):
+        choice = np.zeros(len(pr.group_var), np.int32)
+        for g in range(len(pr.group_var)):
+            for bi, b in enumerate(BITS_SET):
+                if x[var_index[(ci, g, bi)]] > 0.5:
+                    choice[g] = b
+        # safety: any unset group gets the bootstrap width
+        choice[choice == 0] = cfg.assign_bits
+        out[pr.key] = choice
+    return out
+
+
+class Assigner:
+    """Periodic adaptive bit-width assignment from accumulated traces."""
+
+    def __init__(
+        self,
+        plan: ExchangePlan,
+        num_layers: int,
+        cfg: AssignerConfig,
+        cost_model: Tuple[float, float] = (1.0, 0.1),
+    ):
+        self.plan = plan
+        self.num_layers = num_layers
+        self.cfg = cfg
+        self.alpha, self.beta = cost_model
+        k = plan.send_idx.shape[0]
+        self.k = k
+        # slot-keyed backward scores [K, R_pad] from the sender-side
+        # lane-aligned plan scores
+        self.scores_bp_slot = np.zeros((k, plan.r_pad), np.float32)
+        for r in range(k):
+            offset = 0
+            for s in range(k):
+                if s == r:
+                    continue
+                cnt = int(plan.counts[s, r])
+                self.scores_bp_slot[r, offset : offset + cnt] = plan.scores_bp[
+                    s, r, :cnt
+                ]
+                offset += cnt
+
+    def bootstrap(self) -> Assignment:
+        return uniform_assignment(self.plan, self.num_layers, self.cfg.assign_bits)
+
+    def assign(
+        self,
+        fwd_traces: np.ndarray,  # [L, K, K, S] accumulated variance proxies
+        bwd_traces: np.ndarray,  # [L, K, R_pad]
+    ) -> Assignment:
+        plan = self.plan
+        cfg = self.cfg
+        k = self.k
+        fwd_out: List[np.ndarray] = []
+        bwd_out: List[np.ndarray] = []
+        for layer in range(self.num_layers):
+            # ---- forward ----
+            problems = []
+            for s in range(k):
+                for r in range(k):
+                    cnt = int(plan.counts[s, r])
+                    if s == r or cnt == 0:
+                        continue
+                    lanes = np.arange(cnt)
+                    combined = (
+                        plan.scores_fp[s, r, :cnt] ** 2 * fwd_traces[layer, s, r, :cnt]
+                    )
+                    groups, gvar, gcnt = _group_channel(combined, lanes, cfg.group_size)
+                    problems.append(ChannelProblem((s, r), groups, gvar, gcnt))
+            sol = _solve_direction(problems, cfg, self.alpha, self.beta)
+            fwd_bits = np.zeros_like(plan.send_idx, dtype=np.int32)
+            for pr in problems:
+                s, r = pr.key
+                for g, lanes in enumerate(pr.group_lanes):
+                    fwd_bits[s, r, lanes] = sol[pr.key][g]
+            fwd_out.append(fwd_bits)
+
+            # ---- backward (layer 0 carries no gradient exchange) ----
+            bwd_bits = np.zeros((k, plan.r_pad), np.int32)
+            if layer > 0:
+                problems = []
+                for r in range(k):
+                    offset = 0
+                    for s in range(k):
+                        if s == r:
+                            continue
+                        cnt = int(plan.counts[s, r])
+                        if cnt == 0:
+                            continue
+                        slots = np.arange(offset, offset + cnt)
+                        combined = (
+                            self.scores_bp_slot[r, slots] ** 2
+                            * bwd_traces[layer, r, slots]
+                        )
+                        groups, gvar, gcnt = _group_channel(
+                            combined, slots, cfg.group_size
+                        )
+                        problems.append(ChannelProblem((r, s), groups, gvar, gcnt))
+                        offset += cnt
+                sol = _solve_direction(problems, cfg, self.alpha, self.beta)
+                for pr in problems:
+                    r, s = pr.key
+                    for g, slots in enumerate(pr.group_lanes):
+                        bwd_bits[r, slots] = sol[pr.key][g]
+            else:
+                # keep valid slots at the bootstrap width for bucket symmetry
+                slot = np.arange(plan.r_pad)[None, :]
+                bwd_bits = np.where(
+                    slot < plan.num_remote[:, None], cfg.assign_bits, 0
+                ).astype(np.int32)
+            bwd_out.append(bwd_bits)
+        return Assignment(fwd_out, bwd_out)

@@ -1,0 +1,82 @@
+"""Two-level configuration: per-dataset YAML overridden by CLI flags
+(reference: ``AdaQP/trainer/trainer.py:33-39``, flags ``main.py:6-15``).
+
+YAML sections mirror the reference (``AdaQP/config/*.yaml``):
+``data`` / ``model`` / ``runtime`` / ``assignment``.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import yaml
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "config")
+
+
+@dataclass
+class RunConfig:
+    # data
+    dataset: str = "sbm"
+    raw_dir: str = "data/dataset"
+    partition_dir: str = "data/part_data"
+    num_feats: int = 0  # 0 -> from data
+    num_classes: int = 0
+    is_multilabel: bool = False
+    # model
+    model_name: str = "gcn"  # gcn | sage
+    num_layers: int = 3
+    hidden_dim: int = 256
+    dropout_rate: float = 0.5
+    use_norm: bool = True
+    aggregator_type: str = "mean"
+    # runtime
+    num_parts: int = 4
+    partition_method: str = "ldg"
+    learning_rate: float = 0.01
+    weight_decay: float = 0.0
+    num_epochs: int = 100
+    mode: str = "AdaQP"
+    assign_scheme: str = "adaptive"
+    exp_path: str = "exp"
+    logger_level: str = "INFO"
+    log_steps: int = 10
+    seed: int = 42
+    edge_chunk: Optional[int] = None
+    # assignment
+    assign_cycle: int = 50
+    profile_data_length: int = 8  # #payload sizes for cost-model profiling
+    group_size: int = 100
+    coe_lambda: float = 0.5
+    assign_bits: int = 8
+    # synthetic dataset knobs
+    synth_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    @staticmethod
+    def from_yaml(dataset: str, overrides: Optional[Dict[str, Any]] = None) -> "RunConfig":
+        cfg = RunConfig(dataset=dataset)
+        path = os.path.join(CONFIG_DIR, f"{dataset}.yaml")
+        if os.path.exists(path):
+            with open(path) as f:
+                doc = yaml.safe_load(f) or {}
+            flat: Dict[str, Any] = {}
+            for section in ("data", "model", "runtime", "assignment"):
+                flat.update(doc.get(section) or {})
+            _KEYMAP = {
+                "name": "dataset",
+                "dataset_path": "raw_dir",
+                "partition_path": "partition_dir",
+                "num_epoches": "num_epochs",
+            }
+            for k, v in flat.items():
+                k = _KEYMAP.get(k, k)
+                if hasattr(cfg, k):
+                    setattr(cfg, k, v)
+        for k, v in (overrides or {}).items():
+            if v is None:
+                continue
+            if not hasattr(cfg, k):
+                raise ValueError(f"unknown config key {k!r}")
+            setattr(cfg, k, v)
+        return cfg

@@ -1,0 +1,406 @@
+"""Trainer — the runtime that wires every subsystem together.
+
+Reference: ``AdaQP/trainer/trainer.py`` + ``runtime_util.py``. Differences
+forced (or enabled) by the TPU runtime are documented inline; externally
+visible behavior (modes, schemes, loss normalization, metric definitions,
+periodic reassignment cadence, artifact formats) matches the reference.
+
+Single-controller JAX: there is no per-worker process, no rendezvous, no
+seed broadcast (``runtime_util.py:40-63``) — one process drives the whole
+``('part',)`` mesh, parameters are replicated by sharding, and gradient
+summation happens in the AD transpose of the replicated-parameter
+shard_map (the reference's ``average_gradients`` allreduce-SUM,
+``runtime_util.py:71-77``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..assigner import (
+    Assigner,
+    AssignerConfig,
+    buckets_from_assignment,
+    random_assignment,
+    uniform_assignment,
+)
+from ..assigner.profile import fit_cost_model, profile_cost_model
+from ..common.types import AggregatorType, GNNType, Mode, Scheme
+from ..graph import build_layout, partition_graph
+from ..graph.device import (
+    ShardStatic,
+    make_mesh,
+    put_sharded,
+    shard_arrays_from_layout,
+    static_from_layout,
+)
+from ..helper.dataset import GraphData, load_dataset
+from ..model import apply_gnn, init_params
+from ..model.loss import correct_count, f1_pieces, masked_loss_sum
+from ..utils import Recorder, Timer
+from .config import RunConfig
+
+logger = logging.getLogger("adaqp_tpu")
+
+
+def setup_logger(level: str = "INFO", logfile: Optional[str] = "trainer.log"):
+    logger.setLevel(getattr(logging, level.upper(), logging.INFO))
+    if not logger.handlers:
+        sh = logging.StreamHandler()
+        sh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+        logger.addHandler(sh)
+        if logfile:
+            fh = logging.FileHandler(logfile)
+            fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+            logger.addHandler(fh)
+
+
+class Trainer:
+    def __init__(self, cfg: RunConfig, graph: Optional[GraphData] = None):
+        setup_logger(cfg.logger_level)
+        self.cfg = cfg
+        self.mode = Mode.from_str(cfg.mode)
+        self.scheme = Scheme.from_str(cfg.assign_scheme)
+        self.model_type = GNNType.GCN if cfg.model_name == "gcn" else GNNType.SAGE
+        self.timer = Timer()
+        t0 = time.perf_counter()
+
+        # ---- data + partition + layout ----
+        self.graph = graph if graph is not None else load_dataset(
+            cfg.dataset, cfg.raw_dir, **cfg.synth_kwargs
+        )
+        part_id = self._load_or_partition()
+        self.layout = build_layout(self.graph, part_id, self.model_type)
+        self.mesh = make_mesh(self.layout.k)
+        self.sh = put_sharded(shard_arrays_from_layout(self.layout), self.mesh)
+        self.static = static_from_layout(
+            self.layout,
+            model=self.model_type,
+            agg_type=AggregatorType(cfg.aggregator_type),
+            mode=self.mode,
+            num_layers=cfg.num_layers,
+            hidden=cfg.hidden_dim,
+            dropout=cfg.dropout_rate,
+            use_norm=cfg.use_norm,
+            edge_chunk=cfg.edge_chunk,
+        )
+        self.k = self.layout.k
+        self.train_count = float(self.graph.train_mask.sum())
+        self.val_count = float(self.graph.val_mask.sum())
+        self.test_count = float(self.graph.test_mask.sum())
+
+        # ---- model + optimizer ----
+        self.params = init_params(jax.random.PRNGKey(cfg.seed), self.static)
+        self.tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(cfg.learning_rate),
+        )
+        self.opt_state = self.tx.init(self.params)
+
+        # ---- assigner ----
+        self.assignment = None
+        self.buckets_dev = None
+        self.assigner: Optional[Assigner] = None
+        plan = self.layout.plan_fwd
+        if self.mode.quantized:
+            acfg = AssignerConfig(
+                group_size=cfg.group_size,
+                coe_lambda=cfg.coe_lambda,
+                assign_bits=cfg.assign_bits,
+                wire_feats=self.static.f_pad,
+            )
+            if self.scheme is Scheme.ADAPTIVE:
+                sizes, times = profile_cost_model(
+                    self.mesh,
+                    max_bytes_per_pair=plan.s_pad * (self.static.f_pad + 4),
+                    num_sizes=cfg.profile_data_length,
+                )
+                cost_model = fit_cost_model(sizes, times)
+                logger.info("profiled cost model alpha=%.4f ms/MB beta=%.4f ms", *cost_model)
+            else:
+                cost_model = (1.0, 0.1)
+            self.assigner = Assigner(plan, cfg.num_layers, acfg, cost_model)
+            # bootstrap: uniform assign_bits (reference trainer.py:63-66)
+            if self.scheme is Scheme.RANDOM:
+                self.assignment = random_assignment(plan, cfg.num_layers, cfg.seed)
+            else:
+                self.assignment = self.assigner.bootstrap()
+            self._lower_buckets()
+
+        # trace accumulators (adaptive scheme)
+        self._reset_traces()
+        self.recorder = Recorder(cfg.num_epochs)
+        self.overhead_s = time.perf_counter() - t0
+        logger.info(
+            "Trainer ready: %s %s mode=%s scheme=%s K=%d Lmax=%d R=%d S=%d",
+            cfg.dataset, cfg.model_name, self.mode.value, self.scheme.value,
+            self.k, self.layout.l_max, plan.r_pad, plan.s_pad,
+        )
+
+    # ------------------------------------------------------------------
+    def _load_or_partition(self) -> np.ndarray:
+        cfg = self.cfg
+        cache = os.path.join(
+            cfg.partition_dir,
+            f"{self.graph.name}_{cfg.num_parts}part_{cfg.partition_method}.npy",
+        )
+        if os.path.exists(cache):
+            part = np.load(cache)
+            if part.shape[0] == self.graph.num_nodes:
+                logger.info("loaded partition cache %s", cache)
+                return part
+        part = partition_graph(self.graph, cfg.num_parts, cfg.partition_method, cfg.seed)
+        os.makedirs(cfg.partition_dir, exist_ok=True)
+        np.save(cache, part)
+        return part
+
+    def _reset_traces(self):
+        plan = self.layout.plan_fwd
+        shape_f = (self.k, self.cfg.num_layers, self.k, plan.s_pad)
+        shape_b = (self.k, self.cfg.num_layers, plan.r_pad)
+        self.trace_fwd = jnp.zeros(shape_f)
+        self.trace_bwd = jnp.zeros(shape_b)
+
+    def _lower_buckets(self):
+        """Assignment -> device bucket arrays (train-buffer regeneration,
+        reference ``buffer.py:176-248``)."""
+        lowered = buckets_from_assignment(
+            self.layout.plan_fwd, self.assignment, self.layout.l_max
+        )
+        self.bucket_bits = tuple(bits for bits, _ in lowered)
+        spec = jax.sharding.NamedSharding(self.mesh, P("part"))
+        self.buckets_dev = tuple(
+            tuple(
+                tuple(jax.device_put(jnp.asarray(a), spec) for a in quad)
+                for quad in arrays
+            )
+            for _, arrays in lowered
+        )
+
+    # ------------------------------------------------------------------
+    def _loss_parts(self, params, sh_stacked, sinks, key, buckets, train: bool):
+        cfg = self.static
+        L = cfg.num_layers
+
+        def body(params, sh_st, sinks, *bucket_leaves):
+            s = sh_st.local()
+            me = jax.lax.axis_index(cfg.axis)
+            dkey = jax.random.fold_in(jax.random.fold_in(key, me), 1)
+            qb = None
+            qkeys = None
+            if buckets is not None:
+                # rebuild per-layer bucket structure from flat leaves
+                it = iter(bucket_leaves)
+                qb = []
+                for layer in range(L):
+                    quads = tuple(
+                        tuple(next(it)[0] for _ in range(4))
+                        for _ in self.bucket_bits[layer]
+                    )
+                    qb.append((self.bucket_bits[layer], quads))
+                qkeys = jax.random.split(jax.random.fold_in(key, me + 1000), (L, 2))
+            logits, traces = apply_gnn(
+                params, s, cfg, sinks[0], train,
+                dropout_key=dkey, quant_keys=qkeys, quant_buckets_per_layer=qb,
+            )
+            loss = masked_loss_sum(logits, s.labels, s.train_mask, cfg.multilabel)
+            return loss[None], traces[None]
+
+        leaves = []
+        if buckets is not None:
+            for layer_arrays in buckets:
+                for quad in layer_arrays:
+                    leaves.extend(quad)
+        n_in = 3 + len(leaves)
+        fn = shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(),) + (P("part"),) * (n_in - 1),
+            out_specs=(P("part"), P("part")),
+        )
+        return fn(params, sh_stacked, sinks, *leaves)
+
+    def _make_train_step(self):
+        """Build the jitted train step for the CURRENT bucket shapes."""
+        adaptive = self.scheme is Scheme.ADAPTIVE and self.mode.quantized
+        quant = self.mode.quantized
+
+        def step(params, opt_state, sh, key, trace_f, trace_b, buckets):
+            sinks = jnp.zeros((self.k, self.static.num_layers, self.static.r_pad))
+
+            def loss_fn(params, sinks):
+                parts, traces = self._loss_parts(
+                    params, sh, sinks, key, buckets if quant else None, True
+                )
+                return parts.sum() / self.train_count, traces
+
+            if adaptive:
+                (loss, fwd_tr), (gp, gs) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(params, sinks)
+                trace_f = trace_f + fwd_tr
+                trace_b = trace_b + gs
+            else:
+                (loss, _), gp = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, sinks
+                )
+            updates, opt_state = self.tx.update(gp, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, trace_f, trace_b
+
+        return jax.jit(step)
+
+    def _make_eval_step(self):
+        cfg = self.static
+
+        def body(params, sh_st):
+            s = sh_st.local()
+            sinks = jnp.zeros((cfg.num_layers, cfg.r_pad))
+            logits, _ = apply_gnn(params, s, cfg, sinks, False)
+            outs = []
+            for mask in (s.train_mask, s.val_mask, s.test_mask):
+                if cfg.multilabel:
+                    tp, fp, fn = f1_pieces(logits, s.labels, mask)
+                    outs.extend([tp, fp, fn])
+                else:
+                    outs.append(correct_count(logits, s.labels, mask))
+            return jnp.stack(outs)[None].astype(jnp.float32)
+
+        fn = shard_map(
+            body, mesh=self.mesh, in_specs=(P(), P("part")), out_specs=P("part")
+        )
+
+        def step(params, sh):
+            pieces = fn(params, sh).sum(axis=0)
+            if cfg.multilabel:
+                def f1(tp, fp, fn):
+                    return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1.0)
+                return jnp.stack(
+                    [f1(*pieces[i * 3 : (i + 1) * 3]) for i in range(3)]
+                )
+            counts = jnp.asarray([self.train_count, self.val_count, self.test_count])
+            return pieces / counts
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def _reassign(self, epoch: int):
+        """Periodic bit-width reassignment (reference
+        ``runtime_util.py:86-93`` + §3.4)."""
+        t0 = time.perf_counter()
+        if self.scheme is Scheme.RANDOM:
+            self.assignment = random_assignment(
+                self.layout.plan_fwd, self.cfg.num_layers, self.cfg.seed + epoch
+            )
+        else:
+            # trace_fwd is [K(shard), L, K, S]: shard s's row is its own sends
+            tf = np.transpose(np.asarray(self.trace_fwd), (1, 0, 2, 3))  # [L, K, K, S]
+            tb = np.transpose(np.asarray(self.trace_bwd), (1, 0, 2))  # [L, K, R]
+            self.assignment = self.assigner.assign(tf, tb)
+            self._reset_traces()
+        self._lower_buckets()
+        self._train_step = self._make_train_step()  # bucket shapes changed
+        dt = time.perf_counter() - t0
+        self.timer.add("assignment_overhead", dt)
+        logger.info("epoch %d: reassignment done in %.2fs", epoch, dt)
+
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        self._train_step = self._make_train_step()
+        eval_step = self._make_eval_step()
+        key = jax.random.PRNGKey(cfg.seed)
+        t_train0 = time.perf_counter()
+        for epoch in range(1, cfg.num_epochs + 1):
+            if (
+                self.mode.quantized
+                and self.scheme in (Scheme.ADAPTIVE, Scheme.RANDOM)
+                and epoch % cfg.assign_cycle == 1
+                and epoch != 1
+            ):
+                self._reassign(epoch)
+            key, k = jax.random.split(key)
+            t0 = time.perf_counter()
+            (self.params, self.opt_state, loss, self.trace_fwd, self.trace_bwd) = (
+                self._train_step(
+                    self.params, self.opt_state, self.sh, k,
+                    self.trace_fwd, self.trace_bwd, self.buckets_dev,
+                )
+            )
+            jax.block_until_ready(loss)
+            self.timer.add_epoch(time.perf_counter() - t0)
+            tr, va, te = (float(x) for x in eval_step(self.params, self.sh))
+            self.recorder.add(tr, va, te)
+            if epoch % cfg.log_steps == 0:
+                logger.info(
+                    "epoch %04d | loss %.4f | %.3fs | train %.4f val %.4f test %.4f",
+                    epoch, float(loss), self.timer.epoch_times[-1], tr, va, te,
+                )
+        total = time.perf_counter() - t_train0
+        ep = np.asarray(self.timer.epoch_times)
+        # median: robust to the compile-heavy first epoch and the one
+        # recompile epoch after each reassignment
+        steady = float(np.median(ep)) if len(ep) else 0.0
+        best = self.recorder.best()
+        records = {
+            "overhead": self.overhead_s + self.timer.totals().get("assignment_overhead", 0.0),
+            "total": total,
+            "per_epoch": steady,
+            "buckets": self.timer.epoch_traced_time(),
+            "best": best,
+            "val_curve": self.recorder.val_curve(),
+        }
+        logger.info(
+            "done: best epoch %d train %.4f val %.4f test %.4f | %.3fs/epoch",
+            *best, steady,
+        )
+        return records
+
+    # ------------------------------------------------------------------
+    def save(self, records: Dict[str, Any]):
+        """Write reference-compatible artifacts (``trainer.py:203-238``):
+        metrics txt, val-curve array, per-worker time CSV."""
+        cfg = self.cfg
+        base = os.path.join(
+            cfg.exp_path, self.graph.name, f"{self.k}part", cfg.model_name
+        )
+        name = self.mode.value + (
+            f"_{self.scheme.value}" if self.mode.quantized else ""
+        )
+        for sub in ("metrics", "val_curve", "time"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        e, tr, va, te = records["best"]
+        with open(os.path.join(base, "metrics", f"{name}.txt"), "w") as f:
+            f.write(
+                f"best epoch: {e}\ntrain: {tr:.4f}\nval: {va:.4f}\ntest: {te:.4f}\n"
+                f"per_epoch_s: {records['per_epoch']:.4f}\n"
+                f"total_s: {records['total']:.4f}\noverhead_s: {records['overhead']:.4f}\n"
+            )
+        np.save(os.path.join(base, "val_curve", f"{name}.npy"), records["val_curve"])
+        comm, quant_t, central, marginal, full = records["buckets"]
+        rows = []
+        for w in range(self.k):
+            rows.append(
+                [w, records["overhead"], records["total"], records["per_epoch"],
+                 comm, quant_t, central, marginal, full]
+            )
+        header = "Worker,Overhead,Total,Per_epoch,Comm,Quant,Central,Marginal,Full"
+        np.savetxt(
+            os.path.join(base, "time", f"{name}.csv"),
+            np.asarray(rows),
+            delimiter=",",
+            header=header,
+            comments="",
+            fmt="%.6f",
+        )
+        logger.info("artifacts written under %s", base)

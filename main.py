@@ -1,0 +1,57 @@
+"""Training entry point (reference: ``main.py``).
+
+    python main.py --dataset reddit --num_parts 4 --model_name gcn \
+        --mode AdaQP --assign_scheme adaptive
+
+Synthetic datasets (no download): --dataset sbm | rmat.
+Device selection: runs on however many devices JAX exposes; for CPU-mesh
+testing set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N.
+"""
+import argparse
+import os
+
+import jax
+
+# Honor JAX_PLATFORMS even when a TPU plugin registered itself eagerly at
+# interpreter start (it may override the env var during registration).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+from adaqp_tpu.trainer import RunConfig, Trainer  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="adaqp_tpu trainer")
+    p.add_argument("--dataset", type=str, default="sbm")
+    p.add_argument("--num_parts", type=int, default=None)
+    p.add_argument("--partition_method", type=str, default=None, choices=["ldg", "metis", "random"])
+    p.add_argument("--model_name", type=str, default=None, choices=["gcn", "sage"])
+    p.add_argument("--mode", type=str, default=None,
+                   choices=["Vanilla", "AdaQP", "AdaQP-q", "AdaQP-p"])
+    p.add_argument("--assign_scheme", type=str, default=None,
+                   choices=["uniform", "random", "adaptive"])
+    p.add_argument("--assign_bits", type=int, default=None, choices=[2, 4, 8])
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--hidden_dim", type=int, default=None)
+    p.add_argument("--num_layers", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--logger_level", type=str, default=None)
+    p.add_argument("--exp_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    overrides = {k: v for k, v in vars(args).items() if k != "dataset"}
+    cfg = RunConfig.from_yaml(args.dataset, overrides)
+    trainer = Trainer(cfg)
+    records = trainer.train()
+    trainer.save(records)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Assigner tests (SURVEY.md §4d): ILP monotonicity, constraint
+satisfaction, bucket lowering consistency, and mixed-bit exchange."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from adaqp_tpu.assigner import (
+    Assigner,
+    AssignerConfig,
+    buckets_from_assignment,
+    random_assignment,
+    uniform_assignment,
+)
+from adaqp_tpu.comm import exchange_quant
+from adaqp_tpu.common.types import BITS_SET, GNNType
+from adaqp_tpu.graph import build_layout, partition_graph
+from adaqp_tpu.graph.device import make_mesh
+from adaqp_tpu.helper import sbm_graph
+
+K = 4
+L = 3
+
+
+@pytest.fixture(scope="module")
+def lay():
+    g = sbm_graph(n=300, blocks=4, num_feats=16, seed=5)
+    part = partition_graph(g, K, method="ldg")
+    return g, build_layout(g, part, GNNType.GCN)
+
+
+def _traces(plan, scale=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    fwd = rng.uniform(0.1, 1.0, (L,) + plan.send_idx.shape).astype(np.float32) * scale
+    bwd = rng.uniform(0.1, 1.0, (L, plan.send_idx.shape[0], plan.r_pad)).astype(
+        np.float32
+    ) * scale
+    return fwd, bwd
+
+
+def _valid_bits(a, plan):
+    lm = np.arange(plan.s_pad)[None, None, :] < plan.counts[:, :, None]
+    for layer in range(len(a.fwd)):
+        assert set(np.unique(a.fwd[layer][lm])) <= set(BITS_SET)
+        assert (a.fwd[layer][~lm] == 0).all()
+
+
+def _channel_mb(plan, bits_arr, wire_feats):
+    """per-channel wire MB given a [K, K, S] bit assignment."""
+    out = {}
+    for s in range(plan.send_idx.shape[0]):
+        for r in range(plan.send_idx.shape[0]):
+            cnt = int(plan.counts[s, r])
+            if s == r or cnt == 0:
+                continue
+            b = bits_arr[s, r, :cnt].astype(np.float64)
+            out[(s, r)] = (b * wire_feats / 8.0 + 4.0).sum() / 1e6
+    return out
+
+
+def test_lambda_extremes(lay):
+    g, layout = lay
+    plan = layout.plan_fwd
+    fwd, bwd = _traces(plan)
+    # lambda -> 1: variance dominates -> every message at max width
+    cfg = AssignerConfig(group_size=50, coe_lambda=0.999, wire_feats=16)
+    asg = Assigner(plan, L, cfg, cost_model=(1.0, 0.1)).assign(fwd, bwd)
+    _valid_bits(asg, plan)
+    lm = np.arange(plan.s_pad)[None, None, :] < plan.counts[:, :, None]
+    vals = np.concatenate([a[lm] for a in asg.fwd])
+    assert (vals == max(BITS_SET)).mean() > 0.95
+    # lambda -> 0: time dominates -> achieved MAKESPAN equals the all-2-bit
+    # makespan (slack channels may legitimately keep higher widths)
+    cfg = AssignerConfig(group_size=50, coe_lambda=0.001, wire_feats=16)
+    asg = Assigner(plan, L, cfg, cost_model=(1.0, 0.1)).assign(fwd, bwd)
+    _valid_bits(asg, plan)
+    got_mb = max(_channel_mb(plan, asg.fwd[0], 16).values())
+    all2 = uniform_assignment(plan, L, min(BITS_SET))
+    best_mb = max(_channel_mb(plan, all2.fwd[0], 16).values())
+    assert got_mb <= best_mb * 1.05 + 1e-9
+
+
+def test_high_variance_nodes_get_more_bits(lay):
+    g, layout = lay
+    plan = layout.plan_fwd
+    fwd, bwd = _traces(plan)
+    # make channel (0,1)'s first lanes hugely variant
+    c = int(plan.counts[0, 1])
+    if c >= 4:
+        fwd[:, 0, 1, : c // 2] *= 1e6
+    cfg = AssignerConfig(group_size=10, coe_lambda=0.5, wire_feats=16)
+    asg = Assigner(plan, L, cfg, cost_model=(10.0, 0.1)).assign(fwd, bwd)
+    if c >= 4:
+        hi = asg.fwd[0][0, 1, : c // 2].mean()
+        lo = asg.fwd[0][0, 1, c // 2 : c].mean()
+        assert hi >= lo
+
+
+def test_bucket_lowering_partitions_lanes(lay):
+    g, layout = lay
+    plan = layout.plan_fwd
+    asg = random_assignment(plan, L, seed=3)
+    buckets = buckets_from_assignment(plan, asg, layout.l_max)
+    assert len(buckets) == L
+    for layer, (bits_tuple, arrays) in enumerate(buckets):
+        # forward: every valid lane appears in exactly one bucket
+        seen = np.zeros(plan.send_idx.shape, bool)
+        for b, (send_idx, recv_slot, gather_slot, scatter_idx) in zip(
+            bits_tuple, arrays
+        ):
+            for s in range(K):
+                for r in range(K):
+                    if s == r:
+                        continue
+                    valid = recv_slot[r, s] < plan.r_pad
+                    slots = recv_slot[r, s][valid]
+                    # recv slots belong to lanes with this bit width
+                    cnt = int(plan.counts[s, r])
+                    lanes = np.searchsorted(plan.recv_slot[r, s, :cnt], slots)
+                    np.testing.assert_array_equal(
+                        asg.fwd[layer][s, r, lanes], np.full(len(lanes), b)
+                    )
+                    seen[s, r, lanes] = True
+        lm = np.arange(plan.s_pad)[None, None, :] < plan.counts[:, :, None]
+        assert (seen == lm).all()
+        # backward: gather/scatter consistency — the slot r returns maps to
+        # the owner's local row that originally sent it
+        for b, (send_idx, recv_slot, gather_slot, scatter_idx) in zip(
+            bits_tuple, arrays
+        ):
+            for r in range(K):
+                for s in range(K):
+                    if s == r:
+                        continue
+                    valid = gather_slot[r, s] < plan.r_pad
+                    slots = gather_slot[r, s][valid]
+                    rows = scatter_idx[s, r][: valid.sum()]
+                    np.testing.assert_array_equal(
+                        layout.local_ids[s][rows], plan.remote_global[r][slots]
+                    )
+
+
+def test_mixed_bits_exchange_end_to_end(lay):
+    g, layout = lay
+    plan = layout.plan_fwd
+    asg = random_assignment(plan, L, seed=7)
+    buckets = buckets_from_assignment(plan, asg, layout.l_max)
+    bits_tuple, arrays = buckets[0]
+    mesh = make_mesh(K)
+    h = jnp.asarray(layout.feats)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    sink = jnp.zeros((K, plan.r_pad))
+    dev_arrays = tuple(tuple(jnp.asarray(a) for a in quad) for quad in arrays)
+
+    def body(h, sk, *flat):
+        quads = tuple(
+            tuple(x[0] for x in flat[i * 4 : (i + 1) * 4]) for i in range(len(arrays))
+        )
+        return exchange_quant(
+            h[0], keys, sk[0], quads, bits_tuple, plan.r_pad, h.shape[-1], "part"
+        )[None]
+
+    flat = [a for quad in dev_arrays for a in quad]
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("part"),) * (2 + len(flat)),
+        out_specs=P("part"),
+    )
+    remote = fn(h, sink, *flat)
+    # every valid slot reconstructed within its bit-width's error bound
+    for r in range(K):
+        n_rem = int(plan.num_remote[r])
+        rg = plan.remote_global[r][:n_rem]
+        rows = g.feats[rg]
+        got = np.asarray(remote[r][:n_rem])
+        # per-slot bits
+        slot_bits = asg.bwd[0][r][:n_rem] * 0  # placeholder
+        offset = 0
+        for s in range(K):
+            if s == r:
+                continue
+            cnt = int(plan.counts[s, r])
+            slot_bits[offset : offset + cnt] = asg.fwd[0][s, r, :cnt]
+            offset += cnt
+        rng_rows = rows.max(1) - rows.min(1)
+        step = rng_rows / (2.0**slot_bits.astype(np.float64) - 1)
+        err = np.abs(got - rows).max(1)
+        assert (err <= 2.2 * step + 1e-6).all(), (r, (err / step).max())

@@ -1,0 +1,83 @@
+"""End-to-end trainer tests: all four modes + three schemes learn the SBM
+oracle task; artifacts land in the reference layout (SURVEY.md §4e)."""
+import os
+
+import numpy as np
+import pytest
+
+from adaqp_tpu.trainer import RunConfig, Trainer
+
+SYNTH = {"n": 320, "blocks": 4, "num_feats": 16, "seed": 9}
+
+
+def _run(tmp_path, **over):
+    over = {
+        "num_parts": 4,
+        "num_epochs": 12,
+        "hidden_dim": 24,
+        "log_steps": 50,
+        "partition_dir": str(tmp_path / "parts"),
+        "exp_path": str(tmp_path / "exp"),
+        "synth_kwargs": SYNTH,
+        "profile_data_length": 2,
+        **over,
+    }
+    cfg = RunConfig.from_yaml("sbm", over)
+    t = Trainer(cfg)
+    rec = t.train()
+    t.save(rec)
+    return t, rec
+
+
+@pytest.mark.parametrize("mode", ["Vanilla", "AdaQP", "AdaQP-q", "AdaQP-p"])
+def test_modes_learn(tmp_path, mode):
+    t, rec = _run(tmp_path, mode=mode, assign_scheme="uniform")
+    _, tr, va, te = rec["best"]
+    assert va > 0.9, f"{mode}: val acc {va}"
+    base = os.path.join(str(tmp_path / "exp"), "sbm320", "4part", "gcn")
+    suffix = "" if mode == "Vanilla" or mode == "AdaQP-p" else "_uniform"
+    want_name = mode + ("_uniform" if mode in ("AdaQP", "AdaQP-q") else "")
+    assert os.path.exists(os.path.join(base, "metrics", f"{want_name}.txt"))
+    csv = np.genfromtxt(
+        os.path.join(base, "time", f"{want_name}.csv"), delimiter=",", names=True
+    )
+    assert set(csv.dtype.names) == {
+        "Worker", "Overhead", "Total", "Per_epoch", "Comm", "Quant",
+        "Central", "Marginal", "Full",
+    }
+    curve = np.load(os.path.join(base, "val_curve", f"{want_name}.npy"))
+    assert len(curve) == 12
+
+
+@pytest.mark.parametrize("scheme", ["random", "adaptive"])
+def test_schemes_with_reassignment(tmp_path, scheme):
+    t, rec = _run(
+        tmp_path, mode="AdaQP", assign_scheme=scheme, num_epochs=18, assign_cycle=8
+    )
+    _, tr, va, te = rec["best"]
+    assert va > 0.9, f"{scheme}: val acc {va}"
+    if scheme == "adaptive":
+        # assignment was recomputed from traces: some spread of bit widths
+        lm_bits = np.concatenate([a.ravel() for a in t.assignment.fwd])
+        assert set(np.unique(lm_bits[lm_bits > 0])) <= {2, 4, 8}
+
+
+def test_sage_multilabel(tmp_path):
+    t, rec = _run(
+        tmp_path,
+        model_name="sage",
+        mode="AdaQP",
+        assign_scheme="uniform",
+        synth_kwargs={**SYNTH, "multilabel": True},
+        num_epochs=15,
+    )
+    _, tr, va, te = rec["best"]
+    assert va > 0.6, f"multilabel micro-F1 {va}"
+
+
+def test_partition_cache_roundtrip(tmp_path):
+    t1, _ = _run(tmp_path, num_epochs=2)
+    cache = os.listdir(str(tmp_path / "parts"))
+    assert any(f.endswith(".npy") for f in cache)
+    t2, _ = _run(tmp_path, num_epochs=2)  # second run loads the cache
+    np.testing.assert_array_equal(t1.layout.part_id, t2.layout.part_id)
