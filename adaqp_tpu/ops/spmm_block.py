@@ -1,0 +1,339 @@
+"""Block-sparse BITMASK SpMM on the MXU — the TPU-native aggregation kernel.
+
+The insight: neighbor aggregation ``out = A^T h`` with an unweighted (0/1)
+adjacency is a matmul with a binary matrix. On TPU the MXU is ~1000x faster
+than scatter/gather pipelines, so instead of edge-wise gathers we:
+
+1. HOST: tile the adjacency into (BD=256 dst x BS=2048 src) blocks; every
+   tile holding >= ``min_edges`` edges is packed as a BITMASK (BD x BS bits
+   = 64 KB — 32x smaller than an int32 edge list at typical densities, and
+   dense-matmul-ready). Leftover edges in sparse tiles go to the ELLPACK
+   gather path (``spmm_fast``).
+2. DEVICE (Pallas): for each tile, DMA the 2048-row source window
+   HBM->VMEM (double-buffered), expand the bitmask to a bf16 0/1 matrix
+   with VPU shifts (``pltpu.repeat`` + bit tests), and accumulate
+   ``A_tile @ window`` on the MXU into the dst block (revisited output
+   block, one flush per dst block).
+
+GCN/SAGE normalizations are rank-1 row/col scalings applied outside the
+kernel, so the unweighted kernel covers both models (``AdaQP/model/
+ops.py:17-67`` semantics preserved end-to-end). Backward runs the same
+kernel on the pre-built reverse-graph layout via ``jax.custom_vjp``
+(the reference's bwd_graph aggregation, ``ops.py:83-95``).
+
+Duplicate edges are not representable in a bitmask; layouts are built from
+de-duplicated edge lists (all four reference datasets are simple graphs).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spmm_fast import EllDevice, EllLayout, _run_ell, ell_from_csr
+
+BD = 256  # dst rows per tile
+BS = 2048  # src cols per tile
+WORDS = BS // 32
+MIN_EDGES = 512  # tiles below this go to the ELL straggler path
+
+
+@dataclass
+class BlockLayout:
+    """Host-side block-sparse bitmask layout + ELL straggler layout."""
+
+    n: int
+    n_pad: int  # h and out rows padded to lcm(BD, BS) multiple
+    masks: np.ndarray  # int32 [T, BD, WORDS]
+    src_start: np.ndarray  # int32 [T]
+    dst_blk: np.ndarray  # int32 [T]
+    is_first: np.ndarray  # int32 [T] (first tile of its dst block)
+    straggler: Optional[EllLayout]
+
+    def to_device(self) -> "BlockDevice":
+        return BlockDevice(
+            self.n,
+            self.n_pad,
+            jnp.asarray(self.masks),
+            jnp.asarray(self.src_start),
+            jnp.asarray(self.dst_blk),
+            jnp.asarray(self.is_first),
+            self.straggler.to_device() if self.straggler else None,
+        )
+
+
+@dataclass
+class BlockDevice:
+    n: int
+    n_pad: int
+    masks: jnp.ndarray
+    src_start: jnp.ndarray
+    dst_blk: jnp.ndarray
+    is_first: jnp.ndarray
+    straggler: Optional[EllDevice]
+
+
+jax.tree_util.register_pytree_node(
+    BlockDevice,
+    lambda b: (
+        (b.masks, b.src_start, b.dst_blk, b.is_first, b.straggler),
+        (b.n, b.n_pad),
+    ),
+    lambda aux, leaves: BlockDevice(aux[0], aux[1], *leaves),
+)
+
+
+def _dedup(src: np.ndarray, dst: np.ndarray, n: int):
+    key = src.astype(np.int64) * n + dst
+    uniq = np.unique(key)
+    return (uniq // n).astype(np.int32), (uniq % n).astype(np.int32)
+
+
+def block_layout(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    min_edges: int = MIN_EDGES,
+    cache_key: Optional[str] = None,
+    dedup: bool = True,
+) -> BlockLayout:
+    if cache_key and os.path.exists(cache_key + ".npz"):
+        z = np.load(cache_key + ".npz")
+        straggler = None
+        if int(z["has_straggler"]):
+            nbk = int(z["ell_num_buckets"])
+            buckets = [
+                (int(z[f"ell_w{i}"]), z[f"ell_rows{i}"], z[f"ell_idx{i}"], z[f"ell_lens{i}"])
+                for i in range(nbk)
+            ]
+            straggler = EllLayout(int(z["n_pad"]), buckets, int(z["ell_row_chunk"]))
+        return BlockLayout(
+            int(z["n"]), int(z["n_pad"]), z["masks"], z["src_start"],
+            z["dst_blk"], z["is_first"], straggler,
+        )
+
+    if dedup:
+        src, dst = _dedup(src, dst, n)
+    n_pad = -(-n // BS) * BS  # BS is a multiple of BD
+    tb = dst.astype(np.int64) // BD
+    sb = src.astype(np.int64) // BS
+    tile_key = tb * (n_pad // BS) + sb
+    order = np.argsort(tile_key, kind="stable")
+    tile_key_s = tile_key[order]
+    src_s, dst_s = src[order], dst[order]
+    uniq_tiles, tile_ptr = np.unique(tile_key_s, return_index=True)
+    tile_ptr = np.append(tile_ptr, len(tile_key_s))
+    counts = np.diff(tile_ptr)
+
+    dense = counts >= min_edges
+    # straggler edges -> ELL
+    str_edges_mask = np.zeros(len(src_s), bool)
+    for ti in np.where(~dense)[0]:
+        str_edges_mask[tile_ptr[ti] : tile_ptr[ti + 1]] = True
+    straggler = None
+    if str_edges_mask.any():
+        straggler = ell_from_csr(
+            src_s[str_edges_mask], dst_s[str_edges_mask], n_pad
+        )
+
+    sel = np.where(dense)[0]
+    t_count = len(sel)
+    n_blocks = n_pad // BD
+    covered = np.zeros(n_blocks, bool)
+    masks_list = []
+    src_start = []
+    dst_blk = []
+    for ti in sel:
+        key = uniq_tiles[ti]
+        b_dst = int(key // (n_pad // BS))
+        b_src = int(key % (n_pad // BS))
+        sl = slice(tile_ptr[ti], tile_ptr[ti + 1])
+        i = (dst_s[sl] - b_dst * BD).astype(np.int64)
+        j = (src_s[sl] - b_src * BS).astype(np.int64)
+        m = np.zeros(BD * WORDS, np.uint32)
+        np.bitwise_or.at(m, i * WORDS + j // 32, np.uint32(1) << (j % 32).astype(np.uint32))
+        masks_list.append(m.reshape(BD, WORDS))
+        src_start.append(b_src * BS)
+        dst_blk.append(b_dst)
+        covered[b_dst] = True
+    # every dst block needs at least one (possibly empty) tile so the output
+    # block gets zero-initialized
+    for b in np.where(~covered)[0]:
+        masks_list.append(np.zeros((BD, WORDS), np.uint32))
+        src_start.append(0)
+        dst_blk.append(int(b))
+    if not masks_list:  # completely empty graph
+        masks_list.append(np.zeros((BD, WORDS), np.uint32))
+        src_start.append(0)
+        dst_blk.append(0)
+    masks = np.stack(masks_list).view(np.int32)
+    src_start = np.asarray(src_start, np.int32)
+    dst_blk = np.asarray(dst_blk, np.int32)
+    order = np.argsort(dst_blk, kind="stable")
+    masks, src_start, dst_blk = masks[order], src_start[order], dst_blk[order]
+    is_first = np.ones(len(dst_blk), np.int32)
+    is_first[1:] = (dst_blk[1:] != dst_blk[:-1]).astype(np.int32)
+
+    lay = BlockLayout(n, n_pad, masks, src_start, dst_blk, is_first, straggler)
+    if cache_key:
+        os.makedirs(os.path.dirname(cache_key) or ".", exist_ok=True)
+        save = dict(
+            n=n, n_pad=n_pad, masks=masks, src_start=src_start,
+            dst_blk=dst_blk, is_first=is_first,
+            has_straggler=int(straggler is not None),
+        )
+        if straggler is not None:
+            save["ell_num_buckets"] = len(straggler.buckets)
+            save["ell_row_chunk"] = straggler.row_chunk
+            for i, (w, rows, idx, lens) in enumerate(straggler.buckets):
+                save[f"ell_w{i}"] = w
+                save[f"ell_rows{i}"] = rows
+                save[f"ell_idx{i}"] = idx
+                save[f"ell_lens{i}"] = lens
+        np.savez(cache_key + ".npz", **save)
+    return lay
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win, sems):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+
+    def dma(tile, slot):
+        return pltpu.make_async_copy(
+            h_ref.at[pl.ds(ss_ref[tile], BS), :], win.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    dma(t, slot).wait()
+
+    words = mask_ref[0]  # [BD, WORDS] int32
+    rep = pltpu.repeat(words, 32, axis=1)  # element l holds word[l // 32]
+    bit = jax.lax.broadcasted_iota(jnp.int32, (BD, BS), 1) % 32
+    a = ((rep >> bit) & 1).astype(jnp.float32).astype(jnp.bfloat16)
+
+    @pl.when(fi_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.dot(
+        a, win[slot].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_block_pallas(layout: BlockDevice, h: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, f = h.shape
+    assert n_pad == layout.n_pad, (n_pad, layout.n_pad)
+    t = layout.masks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, BD, WORDS), lambda i, ss, fi, db: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # h stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (BD, f), lambda i, ss, fi, db: (db[i], 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BS, f), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14.5 * 1024 * 1024),
+        ),
+    )(layout.src_start, layout.is_first, layout.dst_blk, layout.masks, h)
+    return out
+
+
+def _run_block_jnp(layout: BlockDevice, h: jnp.ndarray) -> jnp.ndarray:
+    """Portable (CPU-testable) reference of the tile kernel semantics."""
+    n_pad, f = h.shape
+    out = jnp.zeros((n_pad, f), jnp.float32)
+    t = layout.masks.shape[0]
+    bits = (
+        layout.masks[..., None].astype(jnp.uint32)
+        >> jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
+    ) & 1  # [T, BD, WORDS, 32]
+    a = bits.reshape(t, BD, BS).astype(jnp.float32)
+    for i in range(t):
+        start = layout.src_start[i]
+        window = jax.lax.dynamic_slice_in_dim(h, start, BS, axis=0)
+        tile_out = a[i] @ window.astype(jnp.float32)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out,
+            jax.lax.dynamic_slice_in_dim(out, layout.dst_blk[i] * BD, BD, 0) + tile_out,
+            layout.dst_blk[i] * BD,
+            axis=0,
+        )
+    return out
+
+
+def run_block(layout: BlockDevice, h: jnp.ndarray, use_pallas: bool = True) -> jnp.ndarray:
+    """out = A^T h over [n_pad, F] arrays (rows >= n are zero padding).
+
+    The Pallas path needs F % 128 == 0 (Mosaic requires lane-aligned sliced
+    DMAs); aggregation runs on layer inputs (padded feats / hidden dims), so
+    callers pad F to a lane multiple. Falls back to the jnp form otherwise.
+    """
+    if use_pallas and h.shape[1] % 128:
+        use_pallas = False
+    if use_pallas:
+        out = _run_block_pallas(layout, h)
+    else:
+        out = _run_block_jnp(layout, h)
+    if layout.straggler is not None:
+        out = out + _run_ell(layout.straggler, h.astype(jnp.float32))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def spmm_block(layout_fwd: BlockDevice, h: jnp.ndarray, reverse: BlockDevice, use_pallas: bool = True):
+    """A^T h with bitmask-MXU tiles; VJP runs the reverse layout."""
+    return run_block(layout_fwd, h, use_pallas)
+
+
+def _fwd(layout_fwd, h, reverse, use_pallas):
+    # zero-size residual carries h's dtype (residuals must be JAX types)
+    return run_block(layout_fwd, h, use_pallas), (reverse, jnp.zeros((0,), h.dtype))
+
+
+def _bwd(use_pallas, res, g):
+    reverse, proto = res
+    return None, run_block(reverse, g.astype(proto.dtype), use_pallas).astype(proto.dtype), None
+
+
+spmm_block.defvjp(_fwd, _bwd)

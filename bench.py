@@ -82,8 +82,9 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
 
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
     log(f"building ELL layout (host, one-time)")
-    fwd = ell_from_csr(src, dst, n, cache_key=os.path.join(CACHE_DIR, "ell_fwd"))
-    bwd = ell_from_csr(dst, src, n, cache_key=os.path.join(CACHE_DIR, "ell_bwd"))
+    key = os.path.join(CACHE_DIR, f"ell_{n}_{e}")
+    fwd = ell_from_csr(src, dst, n, cache_key=key + "_fwd")
+    bwd = ell_from_csr(dst, src, n, cache_key=key + "_bwd")
 
     deg_in = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float32)
     deg_out = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float32)
