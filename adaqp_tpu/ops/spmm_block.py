@@ -156,7 +156,12 @@ def block_layout(
         i = (dst_s[sl] - b_dst * BD).astype(np.int64)
         j = (src_s[sl] - b_src * BS).astype(np.int64)
         m = np.zeros(BD * WORDS, np.uint32)
-        np.bitwise_or.at(m, i * WORDS + j // 32, np.uint32(1) << (j % 32).astype(np.uint32))
+        # column j lives at (word = j % WORDS, bit = j // WORDS): this layout
+        # matches pltpu.repeat's TILE (concatenate-copies) semantics, so the
+        # kernel expands with `bit = lane // WORDS` after repeating the words.
+        np.bitwise_or.at(
+            m, i * WORDS + j % WORDS, np.uint32(1) << (j // WORDS).astype(np.uint32)
+        )
         masks_list.append(m.reshape(BD, WORDS))
         src_start.append(b_src * BS)
         dst_blk.append(b_dst)
@@ -228,8 +233,11 @@ def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win,
     dma(t, slot).wait()
 
     words = mask_ref[0]  # [BD, WORDS] int32
-    rep = pltpu.repeat(words, 32, axis=1)  # element l holds word[l // 32]
-    bit = jax.lax.broadcasted_iota(jnp.int32, (BD, BS), 1) % 32
+    # pltpu.repeat has TILE semantics: element at lane l holds
+    # word[l % WORDS]; the host packs column j at (word j % WORDS,
+    # bit j // WORDS), so the bit index here is lane // WORDS.
+    rep = pltpu.repeat(words, 32, axis=1)
+    bit = jax.lax.broadcasted_iota(jnp.int32, (BD, BS), 1) // WORDS
     a = ((rep >> bit) & 1).astype(jnp.float32).astype(jnp.bfloat16)
 
     @pl.when(fi_ref[t] == 1)
@@ -287,8 +295,8 @@ def _run_block_jnp(layout: BlockDevice, h: jnp.ndarray) -> jnp.ndarray:
     bits = (
         layout.masks[..., None].astype(jnp.uint32)
         >> jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
-    ) & 1  # [T, BD, WORDS, 32]
-    a = bits.reshape(t, BD, BS).astype(jnp.float32)
+    ) & 1  # [T, BD, WORDS, 32]; column j = bit * WORDS + word
+    a = bits.transpose(0, 1, 3, 2).reshape(t, BD, BS).astype(jnp.float32)
     for i in range(t):
         start = layout.src_start[i]
         window = jax.lax.dynamic_slice_in_dim(h, start, BS, axis=0)

@@ -44,6 +44,7 @@ class RunConfig:
     log_steps: int = 10
     seed: int = 42
     edge_chunk: Optional[int] = None
+    measure_breakdown: bool = False  # time comm/quant/central/marginal probes
     # assignment
     assign_cycle: int = 50
     profile_data_length: int = 8  # #payload sizes for cost-model profiling

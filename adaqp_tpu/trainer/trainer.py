@@ -315,8 +315,94 @@ class Trainer:
         self.timer.add("assignment_overhead", dt)
         logger.info("epoch %d: reassignment done in %.2fs", epoch, dt)
 
+    def _breakdown_probe(self, reps: int = 5):
+        """Estimate per-epoch time buckets [comm, quant, central, marginal]
+        by timing the isolated sub-computations with real shapes (the TPU
+        analog of the reference's per-region CUDA timer fences,
+        ``AdaQP/util/timer.py:18-27`` — regions inside one fused jit cannot
+        be bracketed, so each is measured standalone)."""
+        cfg, st = self.cfg, self.static
+        L = cfg.num_layers
+        dims = [st.f_pad] + [st.hidden] * (L - 1)
+
+        def timeit(fn, *args):
+            out = fn(*args)
+            jax.tree.map(lambda x: x.block_until_ready(), out)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.tree.map(lambda x: x.block_until_ready(), out)
+            return (time.perf_counter() - t0) / reps
+
+        from ..comm.exchange import exchange_fp
+        from ..ops.spmm import segment_spmm
+
+        for layer, d in enumerate(dims):
+            # layer 0 has no backward exchange; others run fwd + bwd
+            passes = 1 if layer == 0 else 2
+            h = jnp.zeros((self.k, st.l_max, d))
+            sink = jnp.zeros((self.k, st.r_pad))
+
+            def comm_fn(h, sink):
+                def body(h, sh_st, sink):
+                    s = sh_st.local()
+                    return exchange_fp(
+                        h[0], s.send_idx, s.recv_slot, sink[0], st.r_pad, st.axis
+                    )[None]
+
+                return shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(P("part"), P("part"), P("part")),
+                    out_specs=P("part"),
+                )(h, self.sh, sink)
+
+            t = timeit(jax.jit(comm_fn), h, sink)
+            self.timer.add("communication", t * passes)
+
+            def agg_fn(h):
+                def body(h, sh_st):
+                    s = sh_st.local()
+                    central = segment_spmm(s.fl_src, s.fl_dst, None, h[0], st.l_max)
+                    return central[None]
+
+                return shard_map(
+                    body, mesh=self.mesh, in_specs=(P("part"), P("part")),
+                    out_specs=P("part"),
+                )(h, self.sh)
+
+            self.timer.add("central", timeit(jax.jit(agg_fn), h) * 2)
+
+            def marg_fn(remote):
+                def body(remote, sh_st):
+                    s = sh_st.local()
+                    return segment_spmm(s.fh_src, s.fh_dst, None, remote[0], st.l_max)[None]
+
+                return shard_map(
+                    body, mesh=self.mesh, in_specs=(P("part"), P("part")),
+                    out_specs=P("part"),
+                )(remote, self.sh)
+
+            remote = jnp.zeros((self.k, st.r_pad, d))
+            self.timer.add("marginal", timeit(jax.jit(marg_fn), remote) * 2)
+
+            if self.mode.quantized:
+                from ..ops.quant import message_dequantize, message_quantize
+
+                rows = jnp.zeros((self.k * st.s_pad, d))
+
+                def q_fn(rows):
+                    w, p = message_quantize(rows, self.cfg.assign_bits, jax.random.PRNGKey(0))
+                    return message_dequantize(w, p, self.cfg.assign_bits, d)
+
+                self.timer.add("quantization", timeit(jax.jit(q_fn), rows) * passes)
+
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
+        if cfg.measure_breakdown:
+            try:
+                self._breakdown_probe()
+            except Exception as exc:  # probes are best-effort diagnostics
+                logger.warning("breakdown probe failed: %s", exc)
         self._train_step = self._make_train_step()
         eval_step = self._make_eval_step()
         key = jax.random.PRNGKey(cfg.seed)

@@ -78,26 +78,44 @@ def synth_reddit(n, e, f, c, seed=0):
 
 
 def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
-    from adaqp_tpu.ops.spmm_fast import ell_from_csr, spmm_ell
+    from adaqp_tpu.ops.quant import pad_features
+    from adaqp_tpu.ops.spmm_block import block_layout, spmm_block
 
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
-    log(f"building ELL layout (host, one-time)")
-    key = os.path.join(CACHE_DIR, f"ell_{n}_{e}")
-    fwd = ell_from_csr(src, dst, n, cache_key=key + "_fwd")
-    bwd = ell_from_csr(dst, src, n, cache_key=key + "_bwd")
+    log("building bitmask block layout (host, one-time)")
+    key = os.path.join(CACHE_DIR, f"blk_{n}_{e}")
+    fwd = block_layout(src, dst, n, cache_key=key + "_fwd")
+    bwd = block_layout(dst, src, n, cache_key=key + "_bwd")
+    n_pad = fwd.n_pad
+    log(f"tiles fwd={fwd.masks.shape[0]} bwd={bwd.masks.shape[0]} n_pad={n_pad}")
 
     deg_in = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float32)
     deg_out = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float32)
 
+    # pad rows to the tile grid and features to the lane multiple the Pallas
+    # kernel needs
+    f_pad = -(-f // 128) * 128
+    feats_p = np.zeros((n_pad, f_pad), np.float32)
+    feats_p[:n, :f] = feats
+    rs_in = np.ones(n_pad, np.float32)
+    rs_out = np.ones(n_pad, np.float32)
+    rs_in[:n] = deg_in**-0.5
+    rs_out[:n] = deg_out**-0.5
+    labels_p = np.zeros(n_pad, np.int32)
+    labels_p[:n] = labels
+    mask_p = np.zeros(n_pad, bool)
+    mask_p[:n] = train_mask
+
     dev = {
-        "feats": jnp.asarray(feats),
-        "labels": jnp.asarray(labels),
-        "mask": jnp.asarray(train_mask),
-        "rs_in": jnp.asarray(deg_in**-0.5),
-        "rs_out": jnp.asarray(deg_out**-0.5),
+        "feats": jnp.asarray(feats_p),
+        "labels": jnp.asarray(labels_p),
+        "mask": jnp.asarray(mask_p),
+        "rs_in": jnp.asarray(rs_in),
+        "rs_out": jnp.asarray(rs_out),
     }
     fwd_dev = fwd.to_device()
     bwd_dev = bwd.to_device()
+    f = f_pad
 
     import optax
 
@@ -117,15 +135,17 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
     opt_state = tx.init(params)
     train_count = float(train_mask.sum())
 
-    def agg(h, ell_f, ell_b):
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    def agg(h):
         hs = (h * dev["rs_out"][:, None]).astype(agg_dtype)
-        out = spmm_ell(ell_f, hs, reverse=ell_b).astype(jnp.float32)
+        out = spmm_block(fwd_dev, hs, bwd_dev, use_pallas).astype(jnp.float32)
         return out * dev["rs_in"][:, None]
 
     def loss_fn(params):
         h = dev["feats"]
         for i, layer in enumerate(params):
-            h = agg(h, fwd_dev, bwd_dev) @ layer["w"] + layer["b"]
+            h = agg(h) @ layer["w"] + layer["b"]
             if i < layers - 1:
                 h = jax.nn.relu(h)
         return masked_loss_sum(h, dev["labels"], dev["mask"], False) / train_count
