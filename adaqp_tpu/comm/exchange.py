@@ -126,10 +126,26 @@ def uniform_buckets(send_idx, recv_slot, bits: int):
 
 
 def _quant_lanes(rows, bits, key):
-    """rows [K, cap, F] -> (wire u8 [K, cap, F*b/8], params bf16 [K, cap, 2])."""
+    """rows [K, cap, F] -> (wire u8 [K, cap, F*b/8], params bf16 [K, cap, 2]).
+
+    On TPU the minmax + hardware-PRNG stochastic rounding runs as the Pallas
+    kernel (``ops/quant_pallas.py``); elsewhere the portable jnp path. Both
+    obey the same semantics (tests compare statistics, not bit streams).
+    """
     k, cap, f = rows.shape
     flat = rows.reshape(k * cap, f)
-    wire, params = quant.message_quantize(flat, bits, key)
+    if jax.default_backend() == "tpu" and f % 128 == 0:
+        from ..ops import quant_pallas
+
+        n = k * cap
+        n_pad = -(-n // quant_pallas.ROW_BLOCK) * quant_pallas.ROW_BLOCK
+        x = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        q, scale, rmin = quant_pallas.quantize_rows_tpu(x, bits, seed)
+        wire = quant.pack_rows(q[:n], bits)
+        params = jnp.stack([scale[:n], rmin[:n]], axis=-1).astype(jnp.bfloat16)
+    else:
+        wire, params = quant.message_quantize(flat, bits, key)
     return wire.reshape(k, cap, -1), params.reshape(k, cap, 2)
 
 

@@ -218,8 +218,11 @@ def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win,
     slot = jax.lax.rem(t, 2)
 
     def dma(tile, slot):
+        # src_start values are multiples of BS; the hint lets Mosaic prove
+        # sublane-tiling divisibility for the dynamic slice
+        start = pl.multiple_of(ss_ref[tile], BS)
         return pltpu.make_async_copy(
-            h_ref.at[pl.ds(ss_ref[tile], BS), :], win.at[slot], sems.at[slot]
+            h_ref.at[pl.ds(start, BS), :], win.at[slot], sems.at[slot]
         )
 
     @pl.when(t == 0)

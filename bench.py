@@ -137,12 +137,15 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
 
     use_pallas = jax.devices()[0].platform == "tpu"
 
-    def agg(h):
-        hs = (h * dev["rs_out"][:, None]).astype(agg_dtype)
-        out = spmm_block(fwd_dev, hs, bwd_dev, use_pallas).astype(jnp.float32)
-        return out * dev["rs_in"][:, None]
+    # everything the step touches is an explicit argument: closure-captured
+    # arrays would be embedded as HLO constants, and at 100M-edge scale that
+    # multi-GB payload stalls compilation
+    def loss_fn(params, dev, fwd_dev, bwd_dev):
+        def agg(h):
+            hs = (h * dev["rs_out"][:, None]).astype(agg_dtype)
+            out = spmm_block(fwd_dev, hs, bwd_dev, use_pallas).astype(jnp.float32)
+            return out * dev["rs_in"][:, None]
 
-    def loss_fn(params):
         h = dev["feats"]
         for i, layer in enumerate(params):
             h = agg(h) @ layer["w"] + layer["b"]
@@ -151,20 +154,20 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
         return masked_loss_sum(h, dev["labels"], dev["mask"], False) / train_count
 
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def step(params, opt_state, dev, fwd_dev, bwd_dev):
+        loss, grads = jax.value_and_grad(loss_fn)(params, dev, fwd_dev, bwd_dev)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     log("compiling train step...")
     t0 = time.perf_counter()
-    params, opt_state, loss = step(params, opt_state)
+    params, opt_state, loss = step(params, opt_state, dev, fwd_dev, bwd_dev)
     _ = float(loss)  # force completion (block_until_ready is lazy over the tunnel)
     log(f"compile+first epoch: {time.perf_counter()-t0:.1f}s, loss {float(loss):.4f}")
     times = []
     for i in range(epochs):
         t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, dev, fwd_dev, bwd_dev)
         _ = float(loss)
         times.append(time.perf_counter() - t0)
         log(f"epoch {i}: {times[-1]:.3f}s loss {float(loss):.4f}")
