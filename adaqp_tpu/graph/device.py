@@ -86,6 +86,8 @@ class ShardStatic:
     use_norm: bool = True
     axis: str = "part"
     edge_chunk: Optional[int] = None  # None -> one-shot segment_sum
+    spmm: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
+    agg_dtype: str = "float32"  # aggregation compute dtype ("bfloat16" on TPU)
 
 
 def shard_arrays_from_layout(layout: PartitionLayout) -> ShardArrays:

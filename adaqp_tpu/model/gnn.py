@@ -74,6 +74,7 @@ def apply_gnn(
     dropout_key: Optional[jax.Array] = None,
     quant_keys: Optional[jnp.ndarray] = None,
     quant_buckets_per_layer=None,
+    blocks=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass for one shard (inside shard_map).
 
@@ -91,7 +92,9 @@ def apply_gnn(
         buckets_i = (
             None if quant_buckets_per_layer is None else quant_buckets_per_layer[i]
         )
-        agg, tr = dist_aggregate(h, sh, cfg, sinks[i], keys_i, train, buckets_i)
+        agg, tr = dist_aggregate(
+            h, sh, cfg, sinks[i], keys_i, train, buckets_i, blocks
+        )
         traces.append(tr)
         if cfg.model is GNNType.GCN:
             out = agg @ layer["w"] + layer["b"]

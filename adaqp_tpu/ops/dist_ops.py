@@ -53,6 +53,7 @@ def dist_aggregate(
     keys: Optional[jnp.ndarray],
     train: bool,
     quant_buckets=None,
+    blocks=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Aggregate features/embeddings across the partitioned graph.
 
@@ -82,15 +83,30 @@ def dist_aggregate(
         h, remote = jax.lax.optimization_barrier((h, remote))
 
     l = cfg.l_max
+    if blocks is not None:
+        # bitmask-MXU kernels (Pallas on TPU, jnp fallback elsewhere)
+        from .spmm_block import spmm_block
+
+        fl, bl, fh, bh = blocks.devices()
+        dt = jnp.dtype(cfg.agg_dtype)
+        use_pallas = jax.default_backend() == "tpu" and h.shape[1] % 128 == 0
+
+        def pair(hl, hr):
+            a = spmm_block(fl, hl.astype(dt), bl, use_pallas)
+            b = spmm_block(fh, hr.astype(dt), bh, use_pallas)
+            return (a + b).astype(jnp.float32)
+
+    else:
+        def pair(hl, hr):
+            a = _seg(sh.fl_src, sh.fl_dst, hl, l, cfg.edge_chunk)
+            return a + _seg(sh.fh_src, sh.fh_dst, hr, l, cfg.edge_chunk)
+
     if cfg.model is GNNType.GCN:
         hs_local = h * jax.lax.rsqrt(sh.deg_out[:l])[:, None]
         hs_remote = remote * jax.lax.rsqrt(sh.deg_out[l:])[:, None]
-        agg = _seg(sh.fl_src, sh.fl_dst, hs_local, l, cfg.edge_chunk)
-        agg = agg + _seg(sh.fh_src, sh.fh_dst, hs_remote, l, cfg.edge_chunk)
-        out = agg * jax.lax.rsqrt(sh.deg_in[:l])[:, None]
+        out = pair(hs_local, hs_remote) * jax.lax.rsqrt(sh.deg_in[:l])[:, None]
     elif cfg.model is GNNType.SAGE:
-        agg = _seg(sh.fl_src, sh.fl_dst, h, l, cfg.edge_chunk)
-        agg = agg + _seg(sh.fh_src, sh.fh_dst, remote, l, cfg.edge_chunk)
+        agg = pair(h, remote)
         if cfg.agg_type is AggregatorType.MEAN:
             out = agg / sh.deg_in[:l, None]
         else:  # 'gcn' aggregator (reference ops.py:41-46)

@@ -45,15 +45,25 @@ MIN_EDGES = 512  # tiles below this go to the ELL straggler path
 
 @dataclass
 class BlockLayout:
-    """Host-side block-sparse bitmask layout + ELL straggler layout."""
+    """Host-side block-sparse bitmask layout + ELL straggler layout.
+
+    Rectangular in general: source rows (the ``h`` operand, padded to
+    ``n_src_pad``) and destination rows (the output, padded to ``n_pad``)
+    may differ — e.g. halo aggregation maps remote slots -> local rows.
+    """
 
     n: int
-    n_pad: int  # h and out rows padded to lcm(BD, BS) multiple
+    n_pad: int  # out rows padded to a BD multiple (BS multiple when square)
     masks: np.ndarray  # int32 [T, BD, WORDS]
     src_start: np.ndarray  # int32 [T]
     dst_blk: np.ndarray  # int32 [T]
     is_first: np.ndarray  # int32 [T] (first tile of its dst block)
     straggler: Optional[EllLayout]
+    n_src_pad: int = 0  # h rows (== n_pad when square)
+
+    def __post_init__(self):
+        if self.n_src_pad == 0:
+            self.n_src_pad = self.n_pad
 
     def to_device(self) -> "BlockDevice":
         return BlockDevice(
@@ -64,6 +74,7 @@ class BlockLayout:
             jnp.asarray(self.dst_blk),
             jnp.asarray(self.is_first),
             self.straggler.to_device() if self.straggler else None,
+            self.n_src_pad,
         )
 
 
@@ -76,15 +87,18 @@ class BlockDevice:
     dst_blk: jnp.ndarray
     is_first: jnp.ndarray
     straggler: Optional[EllDevice]
+    n_src_pad: int = 0
 
 
 jax.tree_util.register_pytree_node(
     BlockDevice,
     lambda b: (
         (b.masks, b.src_start, b.dst_blk, b.is_first, b.straggler),
-        (b.n, b.n_pad),
+        (b.n, b.n_pad, b.n_src_pad),
     ),
-    lambda aux, leaves: BlockDevice(aux[0], aux[1], *leaves),
+    lambda aux, leaves: BlockDevice(
+        aux[0], aux[1], *leaves, aux[2]
+    ),
 )
 
 
@@ -101,7 +115,10 @@ def block_layout(
     min_edges: int = MIN_EDGES,
     cache_key: Optional[str] = None,
     dedup: bool = True,
+    n_src: Optional[int] = None,
 ) -> BlockLayout:
+    """Build the tile layout for edges src -> dst; ``n`` destination rows,
+    ``n_src`` source rows (defaults to ``n`` — the square case)."""
     if cache_key and os.path.exists(cache_key + ".npz"):
         z = np.load(cache_key + ".npz")
         straggler = None
@@ -115,14 +132,20 @@ def block_layout(
         return BlockLayout(
             int(z["n"]), int(z["n_pad"]), z["masks"], z["src_start"],
             z["dst_blk"], z["is_first"], straggler,
+            int(z.get("n_src_pad", z["n_pad"])),
         )
 
+    square = n_src is None
+    if n_src is None:
+        n_src = n
     if dedup:
-        src, dst = _dedup(src, dst, n)
-    n_pad = -(-n // BS) * BS  # BS is a multiple of BD
+        nn = max(n, n_src)
+        src, dst = _dedup(src, dst, nn)
+    n_pad = -(-n // BS) * BS if square else -(-n // BD) * BD
+    n_src_pad = n_pad if square else -(-n_src // BS) * BS
     tb = dst.astype(np.int64) // BD
     sb = src.astype(np.int64) // BS
-    tile_key = tb * (n_pad // BS) + sb
+    tile_key = tb * (n_src_pad // BS) + sb
     order = np.argsort(tile_key, kind="stable")
     tile_key_s = tile_key[order]
     src_s, dst_s = src[order], dst[order]
@@ -142,7 +165,6 @@ def block_layout(
         )
 
     sel = np.where(dense)[0]
-    t_count = len(sel)
     n_blocks = n_pad // BD
     covered = np.zeros(n_blocks, bool)
     masks_list = []
@@ -150,8 +172,8 @@ def block_layout(
     dst_blk = []
     for ti in sel:
         key = uniq_tiles[ti]
-        b_dst = int(key // (n_pad // BS))
-        b_src = int(key % (n_pad // BS))
+        b_dst = int(key // (n_src_pad // BS))
+        b_src = int(key % (n_src_pad // BS))
         sl = slice(tile_ptr[ti], tile_ptr[ti + 1])
         i = (dst_s[sl] - b_dst * BD).astype(np.int64)
         j = (src_s[sl] - b_src * BS).astype(np.int64)
@@ -184,12 +206,12 @@ def block_layout(
     is_first = np.ones(len(dst_blk), np.int32)
     is_first[1:] = (dst_blk[1:] != dst_blk[:-1]).astype(np.int32)
 
-    lay = BlockLayout(n, n_pad, masks, src_start, dst_blk, is_first, straggler)
+    lay = BlockLayout(n, n_pad, masks, src_start, dst_blk, is_first, straggler, n_src_pad)
     if cache_key:
         os.makedirs(os.path.dirname(cache_key) or ".", exist_ok=True)
         save = dict(
-            n=n, n_pad=n_pad, masks=masks, src_start=src_start,
-            dst_blk=dst_blk, is_first=is_first,
+            n=n, n_pad=n_pad, n_src_pad=n_src_pad, masks=masks,
+            src_start=src_start, dst_blk=dst_blk, is_first=is_first,
             has_straggler=int(straggler is not None),
         )
         if straggler is not None:
@@ -257,8 +279,9 @@ def _run_block_pallas(layout: BlockDevice, h: jnp.ndarray, interpret: bool = Fal
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_pad, f = h.shape
-    assert n_pad == layout.n_pad, (n_pad, layout.n_pad)
+    n_src_pad, f = h.shape
+    assert n_src_pad == layout.n_src_pad, (n_src_pad, layout.n_src_pad)
+    n_pad = layout.n_pad
     t = layout.masks.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -292,8 +315,9 @@ def _run_block_pallas(layout: BlockDevice, h: jnp.ndarray, interpret: bool = Fal
 
 def _run_block_jnp(layout: BlockDevice, h: jnp.ndarray) -> jnp.ndarray:
     """Portable (CPU-testable) reference of the tile kernel semantics."""
-    n_pad, f = h.shape
-    out = jnp.zeros((n_pad, f), jnp.float32)
+    f = h.shape[1]
+    assert h.shape[0] == layout.n_src_pad
+    out = jnp.zeros((layout.n_pad, f), jnp.float32)
     t = layout.masks.shape[0]
     bits = (
         layout.masks[..., None].astype(jnp.uint32)

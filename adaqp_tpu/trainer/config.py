@@ -45,6 +45,8 @@ class RunConfig:
     seed: int = 42
     edge_chunk: Optional[int] = None
     measure_breakdown: bool = False  # time comm/quant/central/marginal probes
+    spmm_impl: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
+    agg_dtype: str = "float32"  # aggregation compute dtype
     # assignment
     assign_cycle: int = 50
     profile_data_length: int = 8  # #payload sizes for cost-model profiling

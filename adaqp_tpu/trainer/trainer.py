@@ -81,9 +81,21 @@ class Trainer:
             cfg.dataset, cfg.raw_dir, **cfg.synth_kwargs
         )
         part_id = self._load_or_partition()
-        self.layout = build_layout(self.graph, part_id, self.model_type)
+        # the bitmask-MXU SpMM needs rows padded to its 2048 source-tile grid
+        pad_multiple = 2048 if cfg.spmm_impl == "block" else 8
+        self.layout = build_layout(
+            self.graph, part_id, self.model_type, pad_multiple=pad_multiple
+        )
         self.mesh = make_mesh(self.layout.k)
         self.sh = put_sharded(shard_arrays_from_layout(self.layout), self.mesh)
+        self.blocks = None
+        if cfg.spmm_impl == "block":
+            from ..graph.block_shards import build_block_shards
+
+            spec = jax.sharding.NamedSharding(self.mesh, P("part"))
+            self.blocks = jax.tree.map(
+                lambda x: jax.device_put(x, spec), build_block_shards(self.layout)
+            )
         self.static = static_from_layout(
             self.layout,
             model=self.model_type,
@@ -94,6 +106,8 @@ class Trainer:
             dropout=cfg.dropout_rate,
             use_norm=cfg.use_norm,
             edge_chunk=cfg.edge_chunk,
+            spmm=cfg.spmm_impl,
+            agg_dtype=cfg.agg_dtype,
         )
         self.k = self.layout.k
         self.train_count = float(self.graph.train_mask.sum())
@@ -192,9 +206,11 @@ class Trainer:
     def _loss_parts(self, params, sh_stacked, sinks, key, buckets, train: bool):
         cfg = self.static
         L = cfg.num_layers
+        blocks = self.blocks
 
-        def body(params, sh_st, sinks, *bucket_leaves):
+        def body(params, sh_st, sinks, blk, *bucket_leaves):
             s = sh_st.local()
+            blk_local = None if blk is None else blk.local()
             me = jax.lax.axis_index(cfg.axis)
             dkey = jax.random.fold_in(jax.random.fold_in(key, me), 1)
             qb = None
@@ -213,6 +229,7 @@ class Trainer:
             logits, traces = apply_gnn(
                 params, s, cfg, sinks[0], train,
                 dropout_key=dkey, quant_keys=qkeys, quant_buckets_per_layer=qb,
+                blocks=blk_local,
             )
             loss = masked_loss_sum(logits, s.labels, s.train_mask, cfg.multilabel)
             return loss[None], traces[None]
@@ -222,14 +239,15 @@ class Trainer:
             for layer_arrays in buckets:
                 for quad in layer_arrays:
                     leaves.extend(quad)
-        n_in = 3 + len(leaves)
+        n_in = 4 + len(leaves)
         fn = shard_map(
             body,
             mesh=self.mesh,
             in_specs=(P(),) + (P("part"),) * (n_in - 1),
             out_specs=(P("part"), P("part")),
+            check_vma=False,  # pallas_call outputs carry no vma annotation
         )
-        return fn(params, sh_stacked, sinks, *leaves)
+        return fn(params, sh_stacked, sinks, blocks, *leaves)
 
     def _make_train_step(self):
         """Build the jitted train step for the CURRENT bucket shapes."""
@@ -263,11 +281,15 @@ class Trainer:
 
     def _make_eval_step(self):
         cfg = self.static
+        blocks = self.blocks
 
-        def body(params, sh_st):
+        def body(params, sh_st, blk):
             s = sh_st.local()
             sinks = jnp.zeros((cfg.num_layers, cfg.r_pad))
-            logits, _ = apply_gnn(params, s, cfg, sinks, False)
+            logits, _ = apply_gnn(
+                params, s, cfg, sinks, False,
+                blocks=None if blk is None else blk.local(),
+            )
             outs = []
             for mask in (s.train_mask, s.val_mask, s.test_mask):
                 if cfg.multilabel:
@@ -278,11 +300,12 @@ class Trainer:
             return jnp.stack(outs)[None].astype(jnp.float32)
 
         fn = shard_map(
-            body, mesh=self.mesh, in_specs=(P(), P("part")), out_specs=P("part")
+            body, mesh=self.mesh, in_specs=(P(), P("part"), P("part")),
+            out_specs=P("part"), check_vma=False,
         )
 
         def step(params, sh):
-            pieces = fn(params, sh).sum(axis=0)
+            pieces = fn(params, sh, blocks).sum(axis=0)
             if cfg.multilabel:
                 def f1(tp, fp, fn):
                     return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1.0)
