@@ -47,6 +47,10 @@ class RunConfig:
     measure_breakdown: bool = False  # time comm/quant/central/marginal probes
     spmm_impl: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
     agg_dtype: str = "float32"  # aggregation compute dtype
+    # checkpoint / resume (capability absent in the reference, SURVEY.md §5)
+    ckpt_every: int = 0  # epochs between checkpoints; 0 = off
+    ckpt_dir: str = "checkpoints"
+    resume: bool = False
     # assignment
     assign_cycle: int = 50
     profile_data_length: int = 8  # #payload sizes for cost-model profiling

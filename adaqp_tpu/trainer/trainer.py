@@ -419,18 +419,70 @@ class Trainer:
 
                 self.timer.add("quantization", timeit(jax.jit(q_fn), rows) * passes)
 
+    # ------------------------------------------------------------------
+    def _ckpt_state(self):
+        asg_f = [] if self.assignment is None else [np.asarray(a) for a in self.assignment.fwd]
+        asg_b = [] if self.assignment is None else [np.asarray(a) for a in self.assignment.bwd]
+        return {
+            "params": self.params,
+            "opt": self.opt_state,
+            "tf": self.trace_fwd,
+            "tb": self.trace_bwd,
+            "rec": self.recorder.metrics,
+            "asg_f": asg_f,
+            "asg_b": asg_b,
+        }
+
+    def _ckpt_path(self, epoch: int) -> str:
+        return os.path.join(
+            self.cfg.ckpt_dir, self.graph.name, f"{self.k}part_{self.cfg.model_name}",
+            f"ckpt_{epoch}",
+        )
+
+    def _maybe_resume(self) -> int:
+        from ..assigner.assignment import Assignment
+        from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+
+        d = os.path.dirname(self._ckpt_path(0))
+        latest = latest_checkpoint(d)
+        if latest is None:
+            logger.info("resume requested but no checkpoint under %s", d)
+            return 0
+        step, state, _ = load_checkpoint(latest, self._ckpt_state())
+        self.params = state["params"]
+        self.opt_state = state["opt"]
+        self.trace_fwd = jnp.asarray(state["tf"])
+        self.trace_bwd = jnp.asarray(state["tb"])
+        # copy into the (possibly larger) fresh matrix: the resumed run may
+        # extend num_epochs beyond the checkpointed run's horizon
+        loaded = np.asarray(state["rec"])
+        ncopy = min(len(loaded), len(self.recorder.metrics))
+        self.recorder.metrics[:ncopy] = loaded[:ncopy]
+        self.recorder._cursor = min(step, ncopy)
+        if self.mode.quantized and state["asg_f"]:
+            self.assignment = Assignment(
+                [np.asarray(a) for a in state["asg_f"]],
+                [np.asarray(a) for a in state["asg_b"]],
+            )
+            self._lower_buckets()
+        logger.info("resumed from %s at epoch %d", latest, step)
+        return step
+
     def train(self) -> Dict[str, Any]:
+        from ..utils.checkpoint import save_checkpoint
+
         cfg = self.cfg
         if cfg.measure_breakdown:
             try:
                 self._breakdown_probe()
             except Exception as exc:  # probes are best-effort diagnostics
                 logger.warning("breakdown probe failed: %s", exc)
+        start_epoch = self._maybe_resume() if cfg.resume else 0
         self._train_step = self._make_train_step()
         eval_step = self._make_eval_step()
         key = jax.random.PRNGKey(cfg.seed)
         t_train0 = time.perf_counter()
-        for epoch in range(1, cfg.num_epochs + 1):
+        for epoch in range(start_epoch + 1, cfg.num_epochs + 1):
             if (
                 self.mode.quantized
                 and self.scheme in (Scheme.ADAPTIVE, Scheme.RANDOM)
@@ -455,6 +507,8 @@ class Trainer:
                     "epoch %04d | loss %.4f | %.3fs | train %.4f val %.4f test %.4f",
                     epoch, float(loss), self.timer.epoch_times[-1], tr, va, te,
                 )
+            if cfg.ckpt_every and epoch % cfg.ckpt_every == 0:
+                save_checkpoint(self._ckpt_path(epoch), epoch, self._ckpt_state())
         total = time.perf_counter() - t_train0
         ep = np.asarray(self.timer.epoch_times)
         # median: robust to the compile-heavy first epoch and the one

@@ -20,6 +20,10 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+from adaqp_tpu.comm.distributed import maybe_initialize_distributed  # noqa: E402
+
+maybe_initialize_distributed()
+
 from adaqp_tpu.trainer import RunConfig, Trainer  # noqa: E402
 
 
@@ -41,6 +45,10 @@ def parse_args():
     p.add_argument("--logger_level", type=str, default=None)
     p.add_argument("--exp_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--spmm_impl", type=str, default=None, choices=["segment", "block"])
+    p.add_argument("--agg_dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--ckpt_every", type=int, default=None)
+    p.add_argument("--resume", action="store_true", default=None)
     return p.parse_args()
 
 
