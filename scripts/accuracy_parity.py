@@ -1,0 +1,65 @@
+"""Accuracy-parity experiment: quantized modes vs Vanilla fp32.
+
+The paper's claim (BASELINE.md): <= ~0.3-0.5% test-accuracy loss at the
+adaptive bit mix. Runs every mode/scheme on the same partitioned graph and
+reports best-val-epoch test accuracy deltas. CPU-mesh friendly:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+        python scripts/accuracy_parity.py
+"""
+import os
+import sys
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from adaqp_tpu.trainer import RunConfig, Trainer  # noqa: E402
+
+SYNTH = {"n": 2000, "blocks": 8, "num_feats": 32, "p_in": 0.02, "p_out": 0.002, "seed": 7}
+EPOCHS = 60
+
+
+def run(mode, scheme="uniform", bits=8, seed=0):
+    cfg = RunConfig.from_yaml(
+        "sbm",
+        {
+            "num_parts": 4, "num_epochs": EPOCHS, "hidden_dim": 64,
+            "mode": mode, "assign_scheme": scheme, "assign_bits": bits,
+            "assign_cycle": 20, "log_steps": 1000, "seed": 42 + seed,
+            "partition_dir": "/tmp/acc_parts", "exp_path": "/tmp/acc_exp",
+            "synth_kwargs": SYNTH,
+        },
+    )
+    t = Trainer(cfg)
+    rec = t.train()
+    _, tr, va, te = rec["best"]
+    return te
+
+
+def main():
+    base = run("Vanilla")
+    rows = [("Vanilla fp32", base, 0.0)]
+    for name, mode, scheme, bits in (
+        ("AdaQP-q uniform 8-bit", "AdaQP-q", "uniform", 8),
+        ("AdaQP-q uniform 4-bit", "AdaQP-q", "uniform", 4),
+        ("AdaQP-q uniform 2-bit", "AdaQP-q", "uniform", 2),
+        ("AdaQP adaptive", "AdaQP", "adaptive", 8),
+        ("AdaQP random", "AdaQP", "random", 8),
+        ("AdaQP-p (overlap only)", "AdaQP-p", "uniform", 8),
+    ):
+        te = run(mode, scheme, bits)
+        rows.append((name, te, te - base))
+    print(f"\n{'config':28s} {'test acc':>9s} {'delta':>8s}")
+    for name, te, d in rows:
+        print(f"{name:28s} {te:9.4f} {d:+8.4f}")
+
+
+if __name__ == "__main__":
+    main()
