@@ -11,3 +11,5 @@ from .quant import (  # noqa: F401
     message_dequantize,
 )
 from .spmm import spmm_csr, segment_spmm  # noqa: F401
+from .spmm_fast import ell_from_csr, spmm_ell  # noqa: F401
+from .spmm_block import block_layout, spmm_block  # noqa: F401
