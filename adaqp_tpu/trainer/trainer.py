@@ -203,10 +203,9 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def _loss_parts(self, params, sh_stacked, sinks, key, buckets, train: bool):
+    def _loss_parts(self, params, sh_stacked, sinks, key, buckets, blocks, train: bool):
         cfg = self.static
         L = cfg.num_layers
-        blocks = self.blocks
 
         def body(params, sh_st, sinks, blk, *bucket_leaves):
             s = sh_st.local()
@@ -254,12 +253,12 @@ class Trainer:
         adaptive = self.scheme is Scheme.ADAPTIVE and self.mode.quantized
         quant = self.mode.quantized
 
-        def step(params, opt_state, sh, key, trace_f, trace_b, buckets):
+        def step(params, opt_state, sh, key, trace_f, trace_b, buckets, blocks):
             sinks = jnp.zeros((self.k, self.static.num_layers, self.static.r_pad))
 
             def loss_fn(params, sinks):
                 parts, traces = self._loss_parts(
-                    params, sh, sinks, key, buckets if quant else None, True
+                    params, sh, sinks, key, buckets if quant else None, blocks, True
                 )
                 return parts.sum() / self.train_count, traces
 
@@ -281,7 +280,6 @@ class Trainer:
 
     def _make_eval_step(self):
         cfg = self.static
-        blocks = self.blocks
 
         def body(params, sh_st, blk):
             s = sh_st.local()
@@ -304,7 +302,7 @@ class Trainer:
             out_specs=P("part"), check_vma=False,
         )
 
-        def step(params, sh):
+        def step(params, sh, blocks):
             pieces = fn(params, sh, blocks).sum(axis=0)
             if cfg.multilabel:
                 def f1(tp, fp, fn):
@@ -495,12 +493,14 @@ class Trainer:
             (self.params, self.opt_state, loss, self.trace_fwd, self.trace_bwd) = (
                 self._train_step(
                     self.params, self.opt_state, self.sh, k,
-                    self.trace_fwd, self.trace_bwd, self.buckets_dev,
+                    self.trace_fwd, self.trace_bwd, self.buckets_dev, self.blocks,
                 )
             )
             jax.block_until_ready(loss)
             self.timer.add_epoch(time.perf_counter() - t0)
-            tr, va, te = (float(x) for x in eval_step(self.params, self.sh))
+            tr, va, te = (
+                float(x) for x in eval_step(self.params, self.sh, self.blocks)
+            )
             self.recorder.add(tr, va, te)
             if epoch % cfg.log_steps == 0:
                 logger.info(
