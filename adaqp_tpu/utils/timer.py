@@ -58,3 +58,16 @@ class Timer:
     def clear(self):
         self._records.clear()
         self.epoch_times.clear()
+
+    def persist(self, path: str):
+        """Dump raw records (reference: ``Timer.persist``, timer.py:59-66)."""
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {"records": dict(self._records), "epoch_times": self.epoch_times},
+                f,
+                indent=1,
+            )
