@@ -43,6 +43,76 @@ def _round_up(x: int, m: int) -> int:
     return -(-max(x, 1) // m) * m
 
 
+_PLAN_FIELDS = (
+    "send_idx", "recv_slot", "counts", "num_remote", "scores_fp",
+    "scores_bp", "remote_global",
+)
+_LAYOUT_ARRAYS = (
+    "part_id", "local_ids", "num_local", "num_central", "num_marginal",
+    "feats", "labels", "train_mask", "val_mask", "test_mask",
+    "deg_in_fwd", "deg_out_fwd", "deg_in_bwd", "deg_out_bwd",
+)
+
+
+def save_layout(path: str, lay: "PartitionLayout"):
+    """Persist a built layout (the analog of the reference's cached
+    send_idx/recv_idx/agg_scores .npy files, ``processing.py:76-78``)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save = {
+        "k": lay.k, "l_max": lay.l_max, "num_feats": lay.num_feats,
+        "num_classes": lay.num_classes, "multilabel": int(lay.multilabel),
+        "is_bidirected": int(lay.is_bidirected),
+    }
+    for f in _LAYOUT_ARRAYS:
+        save[f] = getattr(lay, f)
+    for tag, pair in (
+        ("fl", lay.fwd_local), ("fh", lay.fwd_halo),
+        ("bl", lay.bwd_local), ("bh", lay.bwd_halo),
+    ):
+        save[tag + "_src"], save[tag + "_dst"] = pair
+    for tag, plan in (("pf", lay.plan_fwd), ("pb", lay.plan_bwd)):
+        for f in _PLAN_FIELDS:
+            save[f"{tag}_{f}"] = getattr(plan, f)
+        save[f"{tag}_s_pad"] = plan.s_pad
+        save[f"{tag}_r_pad"] = plan.r_pad
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **save)
+    import os as _os
+
+    _os.replace(tmp, path + ".npz")
+
+
+def load_layout(path: str) -> Optional["PartitionLayout"]:
+    import os
+
+    if not os.path.exists(path + ".npz"):
+        return None
+    z = np.load(path + ".npz")
+
+    def plan(tag):
+        return ExchangePlan(
+            *(z[f"{tag}_{f}"] for f in _PLAN_FIELDS),
+            int(z[f"{tag}_s_pad"]), int(z[f"{tag}_r_pad"]),
+        )
+
+    pf = plan("pf")
+    bid = bool(int(z["is_bidirected"]))
+    pb = pf if bid else plan("pb")
+    fl = (z["fl_src"], z["fl_dst"])
+    fh = (z["fh_src"], z["fh_dst"])
+    bl = fl if bid else (z["bl_src"], z["bl_dst"])
+    bh = fh if bid else (z["bh_src"], z["bh_dst"])
+    kw = {f: z[f] for f in _LAYOUT_ARRAYS}
+    return PartitionLayout(
+        k=int(z["k"]), l_max=int(z["l_max"]), num_feats=int(z["num_feats"]),
+        num_classes=int(z["num_classes"]), multilabel=bool(int(z["multilabel"])),
+        is_bidirected=bid, fwd_local=fl, fwd_halo=fh, bwd_local=bl,
+        bwd_halo=bh, plan_fwd=pf, plan_bwd=pb, **kw,
+    )
+
+
 @dataclass
 class ExchangePlan:
     """Boundary exchange pattern for one direction (fwd or bwd).

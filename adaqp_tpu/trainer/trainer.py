@@ -83,9 +83,21 @@ class Trainer:
         part_id = self._load_or_partition()
         # the bitmask-MXU SpMM needs rows padded to its 2048 source-tile grid
         pad_multiple = 2048 if cfg.spmm_impl == "block" else 8
-        self.layout = build_layout(
-            self.graph, part_id, self.model_type, pad_multiple=pad_multiple
+        from ..graph.layout import load_layout, save_layout
+
+        lay_cache = os.path.join(
+            cfg.partition_dir,
+            f"{self.graph.name}_{cfg.num_parts}part_{cfg.partition_method}_"
+            f"{self.model_type.value}_pm{pad_multiple}_layout",
         )
+        self.layout = load_layout(lay_cache)
+        if self.layout is None:
+            self.layout = build_layout(
+                self.graph, part_id, self.model_type, pad_multiple=pad_multiple
+            )
+            save_layout(lay_cache, self.layout)
+        else:
+            logger.info("loaded layout cache %s", lay_cache)
         self.mesh = make_mesh(self.layout.k)
         self.sh = put_sharded(shard_arrays_from_layout(self.layout), self.mesh)
         self.blocks = None
