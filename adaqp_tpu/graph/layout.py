@@ -325,7 +325,12 @@ def build_layout(
     model_type: GNNType = GNNType.GCN,
     pad_multiple: int = 8,
     edge_pad_multiple: int = 64,
+    feat_pad_multiple: int = 4,
 ) -> PartitionLayout:
+    """``feat_pad_multiple``: features are zero-padded to this multiple —
+    4 covers every packing width in BITS_SET (2-bit packs 4 values/byte,
+    ``ops/quant.py``); use 128 on TPU so the Pallas quantize and bitmask-MXU
+    kernels take their fast paths (lane alignment)."""
     n = graph.num_nodes
     k = int(part_id.max()) + 1
     part_id = part_id.astype(np.int32)
@@ -401,7 +406,7 @@ def build_layout(
         )
 
     # ---- per-part node data ----
-    f = graph.num_feats
+    f = _round_up(graph.num_feats, feat_pad_multiple)
     local_ids = np.full((k, l_max), -1, np.int64)
     feats = np.zeros((k, l_max, f), np.float32)
     if graph.multilabel:
@@ -415,7 +420,7 @@ def build_layout(
         ordered = locals_per_part[p]
         c = len(ordered)
         local_ids[p, :c] = ordered
-        feats[p, :c] = graph.feats[ordered]
+        feats[p, :c, : graph.num_feats] = graph.feats[ordered]
         labels[p, :c] = graph.labels[ordered]
         train_mask[p, :c] = graph.train_mask[ordered]
         val_mask[p, :c] = graph.val_mask[ordered]

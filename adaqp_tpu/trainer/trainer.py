@@ -81,19 +81,22 @@ class Trainer:
             cfg.dataset, cfg.raw_dir, **cfg.synth_kwargs
         )
         part_id = self._load_or_partition()
-        # the bitmask-MXU SpMM needs rows padded to its 2048 source-tile grid
+        # the bitmask-MXU SpMM needs rows padded to its 2048 source-tile
+        # grid; Pallas kernels want lane-aligned (128) features
         pad_multiple = 2048 if cfg.spmm_impl == "block" else 8
+        feat_multiple = 128 if cfg.spmm_impl == "block" else 4
         from ..graph.layout import load_layout, save_layout
 
         lay_cache = os.path.join(
             cfg.partition_dir,
             f"{self.graph.name}_{cfg.num_parts}part_{cfg.partition_method}_"
-            f"{self.model_type.value}_pm{pad_multiple}_layout",
+            f"{self.model_type.value}_pm{pad_multiple}_fm{feat_multiple}_layout",
         )
         self.layout = load_layout(lay_cache)
         if self.layout is None:
             self.layout = build_layout(
-                self.graph, part_id, self.model_type, pad_multiple=pad_multiple
+                self.graph, part_id, self.model_type,
+                pad_multiple=pad_multiple, feat_pad_multiple=feat_multiple,
             )
             save_layout(lay_cache, self.layout)
         else:
@@ -126,6 +129,12 @@ class Trainer:
         self.val_count = float(self.graph.val_mask.sum())
         self.test_count = float(self.graph.test_mask.sum())
 
+        if self.mode.quantized and cfg.hidden_dim % 4:
+            raise ValueError(
+                f"hidden_dim={cfg.hidden_dim} must be a multiple of 4: hidden "
+                f"activations travel on the quantized wire and 2-bit packing "
+                f"needs 4 values per byte (ops/quant.py)"
+            )
         # ---- model + optimizer ----
         self.params = init_params(jax.random.PRNGKey(cfg.seed), self.static)
         self.tx = optax.chain(
