@@ -89,16 +89,17 @@ def _solve_direction(
     cfg: AssignerConfig,
     alpha: float,
     beta: float,
+    wire_feats: Optional[int] = None,
 ) -> Dict[Tuple[int, int], np.ndarray]:
     """Solve one layer-direction MILP; returns per-channel array of group
-    bit choices (len == #groups)."""
+    bit choices (len == #groups). ``wire_feats`` overrides the config's
+    message dim (layer-0 messages carry features, deeper layers hidden)."""
     if not problems:
         return {}
     nb = len(BITS_SET)
+    wf = cfg.wire_feats if wire_feats is None else wire_feats
     # bytes per message at width b: packed features + params overhead
-    msg_bytes = {
-        b: cfg.wire_feats * b / 8.0 + cfg.param_bytes for b in BITS_SET
-    }
+    msg_bytes = {b: wf * b / 8.0 + cfg.param_bytes for b in BITS_SET}
     # flatten variables x[c, g, b]
     var_index = {}
     idx = 0
@@ -212,10 +213,13 @@ class Assigner:
         self,
         fwd_traces: np.ndarray,  # [L, K, K, S] accumulated variance proxies
         bwd_traces: np.ndarray,  # [L, K, R_pad]
+        layer_dims: Optional[List[int]] = None,  # wire dims per layer
     ) -> Assignment:
         plan = self.plan
         cfg = self.cfg
         k = self.k
+        if layer_dims is None:
+            layer_dims = [cfg.wire_feats] * self.num_layers
         fwd_out: List[np.ndarray] = []
         bwd_out: List[np.ndarray] = []
         for layer in range(self.num_layers):
@@ -232,7 +236,9 @@ class Assigner:
                     )
                     groups, gvar, gcnt = _group_channel(combined, lanes, cfg.group_size)
                     problems.append(ChannelProblem((s, r), groups, gvar, gcnt))
-            sol = _solve_direction(problems, cfg, self.alpha, self.beta)
+            sol = _solve_direction(
+                problems, cfg, self.alpha, self.beta, layer_dims[layer]
+            )
             fwd_bits = np.zeros_like(plan.send_idx, dtype=np.int32)
             for pr in problems:
                 s, r = pr.key
@@ -262,7 +268,9 @@ class Assigner:
                         )
                         problems.append(ChannelProblem((r, s), groups, gvar, gcnt))
                         offset += cnt
-                sol = _solve_direction(problems, cfg, self.alpha, self.beta)
+                sol = _solve_direction(
+                    problems, cfg, self.alpha, self.beta, layer_dims[layer]
+                )
                 for pr in problems:
                     r, s = pr.key
                     for g, slots in enumerate(pr.group_lanes):

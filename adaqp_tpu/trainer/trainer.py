@@ -349,7 +349,10 @@ class Trainer:
             # trace_fwd is [K(shard), L, K, S]: shard s's row is its own sends
             tf = np.transpose(np.asarray(self.trace_fwd), (1, 0, 2, 3))  # [L, K, K, S]
             tb = np.transpose(np.asarray(self.trace_bwd), (1, 0, 2))  # [L, K, R]
-            self.assignment = self.assigner.assign(tf, tb)
+            dims = [self.static.f_pad] + [self.static.hidden] * (
+                self.cfg.num_layers - 1
+            )
+            self.assignment = self.assigner.assign(tf, tb, layer_dims=dims)
             self._reset_traces()
         self._lower_buckets()
         self._train_step = self._make_train_step()  # bucket shapes changed
