@@ -29,6 +29,10 @@ def full_aggregate(g, h, model, agg_type=AggregatorType.MEAN):
 def full_forward(params, g, cfg, feats=None):
     """Mirror of model/gnn.py apply (no dropout) on the full graph."""
     h = jnp.asarray(g.feats) if feats is None else feats
+    # layouts zero-pad features for wire packing; match (exact: padded
+    # columns hit zero-initialized weight rows times zero inputs)
+    if h.shape[1] < cfg.f_pad:
+        h = jnp.pad(h, ((0, 0), (0, cfg.f_pad - h.shape[1])))
     for i, layer in enumerate(params):
         agg = full_aggregate(g, h, cfg.model, cfg.agg_type)
         if cfg.model is GNNType.GCN:

@@ -4,7 +4,9 @@ import numpy as np
 
 from adaqp_tpu.trainer import RunConfig, Trainer
 
-SYNTH = {"n": 400, "blocks": 4, "num_feats": 16, "seed": 2}
+# 128 features: the block impl pads features to the 128-lane grid, so equal
+# dims keep init/params comparable across impls
+SYNTH = {"n": 400, "blocks": 4, "num_feats": 128, "seed": 2}
 
 
 def _run(tmp_path, impl, epochs=8):
