@@ -388,7 +388,7 @@ class Trainer:
             h = jnp.zeros((self.k, st.l_max, d))
             sink = jnp.zeros((self.k, st.r_pad))
 
-            def comm_fn(h, sink):
+            def comm_fn(h, sh, sink):
                 def body(h, sh_st, sink):
                     s = sh_st.local()
                     return exchange_fp(
@@ -399,12 +399,12 @@ class Trainer:
                     body, mesh=self.mesh,
                     in_specs=(P("part"), P("part"), P("part")),
                     out_specs=P("part"),
-                )(h, self.sh, sink)
+                )(h, sh, sink)
 
-            t = timeit(jax.jit(comm_fn), h, sink)
+            t = timeit(jax.jit(comm_fn), h, self.sh, sink)
             self.timer.add("communication", t * passes)
 
-            def agg_fn(h):
+            def agg_fn(h, sh):
                 def body(h, sh_st):
                     s = sh_st.local()
                     central = segment_spmm(s.fl_src, s.fl_dst, None, h[0], st.l_max)
@@ -413,11 +413,11 @@ class Trainer:
                 return shard_map(
                     body, mesh=self.mesh, in_specs=(P("part"), P("part")),
                     out_specs=P("part"),
-                )(h, self.sh)
+                )(h, sh)
 
-            self.timer.add("central", timeit(jax.jit(agg_fn), h) * 2)
+            self.timer.add("central", timeit(jax.jit(agg_fn), h, self.sh) * 2)
 
-            def marg_fn(remote):
+            def marg_fn(remote, sh):
                 def body(remote, sh_st):
                     s = sh_st.local()
                     return segment_spmm(s.fh_src, s.fh_dst, None, remote[0], st.l_max)[None]
@@ -425,10 +425,10 @@ class Trainer:
                 return shard_map(
                     body, mesh=self.mesh, in_specs=(P("part"), P("part")),
                     out_specs=P("part"),
-                )(remote, self.sh)
+                )(remote, sh)
 
             remote = jnp.zeros((self.k, st.r_pad, d))
-            self.timer.add("marginal", timeit(jax.jit(marg_fn), remote) * 2)
+            self.timer.add("marginal", timeit(jax.jit(marg_fn), remote, self.sh) * 2)
 
             if self.mode.quantized:
                 from ..ops.quant import message_dequantize, message_quantize
