@@ -297,7 +297,9 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, trace_f, trace_b
 
-        return jax.jit(step)
+        # donate params/opt_state/trace accumulators: they are replaced every
+        # step, so XLA can update them in place instead of double-buffering
+        return jax.jit(step, donate_argnums=(0, 1, 4, 5))
 
     def _make_eval_step(self):
         cfg = self.static
