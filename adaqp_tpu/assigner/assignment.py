@@ -29,7 +29,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..common.types import BITS_SET
-from ..graph.layout import ExchangePlan, PartitionLayout
+from ..graph.layout import ExchangePlan
 
 
 @dataclass

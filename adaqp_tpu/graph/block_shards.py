@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spmm_block import BD, WORDS, BlockDevice, BlockLayout, block_layout
+from ..ops.spmm_block import BD, WORDS, BlockDevice, block_layout
 from .layout import PartitionLayout
 
 Quad = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]

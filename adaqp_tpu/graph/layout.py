@@ -30,7 +30,7 @@ Per partition p (all arrays padded to global maxima and stacked on a leading
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import numpy as np

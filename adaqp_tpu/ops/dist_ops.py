@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..comm.exchange import exchange_fp, exchange_quant, variance_proxy
-from ..common.types import AggregatorType, GNNType, Mode
+from ..common.types import AggregatorType, GNNType
 from ..graph.device import ShardArrays, ShardStatic
 from .spmm import segment_spmm, spmm_csr
 

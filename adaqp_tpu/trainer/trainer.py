@@ -14,12 +14,12 @@ shard_map (the reference's ``average_gradients`` allreduce-SUM,
 """
 from __future__ import annotations
 
-import dataclasses
+
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +33,11 @@ from ..assigner import (
     AssignerConfig,
     buckets_from_assignment,
     random_assignment,
-    uniform_assignment,
 )
 from ..assigner.profile import fit_cost_model, profile_cost_model
 from ..common.types import AggregatorType, GNNType, Mode, Scheme
 from ..graph import build_layout, partition_graph
 from ..graph.device import (
-    ShardStatic,
     make_mesh,
     put_sharded,
     shard_arrays_from_layout,
