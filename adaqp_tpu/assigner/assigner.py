@@ -96,10 +96,13 @@ def _solve_direction(
     message dim (layer-0 messages carry features, deeper layers hidden)."""
     if not problems:
         return {}
+    from ..comm.wire import wire_cols
+
     nb = len(BITS_SET)
     wf = cfg.wire_feats if wire_feats is None else wire_feats
-    # bytes per message at width b: packed features + params overhead
-    msg_bytes = {b: wf * b / 8.0 + cfg.param_bytes for b in BITS_SET}
+    # bytes per message at width b: word-aligned packed width (the exact
+    # layout the ragged wire ships, comm/wire.py) + params overhead
+    msg_bytes = {b: wire_cols(wf, b) * b / 8.0 + cfg.param_bytes for b in BITS_SET}
     # flatten variables x[c, g, b]
     var_index = {}
     idx = 0

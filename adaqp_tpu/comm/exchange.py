@@ -34,7 +34,7 @@ selected from the exchange plan by the host-built bucket index arrays
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,9 +55,17 @@ from ..ops import quant
 
 def variance_proxy(rows: jnp.ndarray, num_feats: int) -> jnp.ndarray:
     """Per-row quantization-variance proxy ``(F/6) * (rmax - rmin)^2``
-    (reference: ``op_util.py:91-99``)."""
-    rmin = rows.min(axis=-1)
-    rmax = rows.max(axis=-1)
+    (reference: ``op_util.py:91-99``). ``num_feats`` is the TRUE feature
+    count; columns beyond it are layout padding and are masked out of the
+    range (the reference traces exact-F rows)."""
+    f = rows.shape[-1]
+    if num_feats < f:
+        col = jnp.arange(f) < num_feats
+        rmin = jnp.min(jnp.where(col, rows, jnp.inf), axis=-1)
+        rmax = jnp.max(jnp.where(col, rows, -jnp.inf), axis=-1)
+    else:
+        rmin = rows.min(axis=-1)
+        rmax = rows.max(axis=-1)
     return (num_feats / 6.0) * (rmax - rmin) ** 2
 
 
@@ -70,20 +78,24 @@ def _a2a(x: jnp.ndarray, axis: str) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def exchange_fp(h, send_idx, recv_slot, sink, r_pad: int, axis: str):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def exchange_fp(h, send_idx, recv_slot, sink, r_pad: int, axis: str,
+                bwd_live: bool = True):
     """fp32 boundary exchange (reference: ``fp_msg_exchange``,
     ``comm.py:166-191``).
 
     h [L, F]; send_idx/recv_slot [K, S]; sink [r_pad] gradient tap whose
     cotangent under jax.grad is the per-halo-slot backward variance trace.
-    Returns remote [r_pad, F].
+    ``bwd_live=False`` (layer 0: input features carry no gradient, reference
+    ``assigner.py:275-285``) makes the backward a no-op — no collective, no
+    trace — so AD prunes the whole branch. Returns remote [r_pad, F].
     """
-    remote, _ = _exchange_fp_fwd(h, send_idx, recv_slot, sink, r_pad, axis)
+    remote, _ = _exchange_fp_fwd(h, send_idx, recv_slot, sink, r_pad, axis, bwd_live)
     return remote
 
 
-def _exchange_fp_fwd(h, send_idx, recv_slot, sink, r_pad: int, axis: str):
+def _exchange_fp_fwd(h, send_idx, recv_slot, sink, r_pad: int, axis: str,
+                     bwd_live: bool = True):
     send = h[send_idx]  # [K, S, F]; pad lanes gather row 0, dropped at recv
     recv = _a2a(send, axis)
     k, s, f = recv.shape
@@ -93,8 +105,13 @@ def _exchange_fp_fwd(h, send_idx, recv_slot, sink, r_pad: int, axis: str):
     return remote, (h.shape, send_idx, recv_slot)
 
 
-def _exchange_fp_bwd(r_pad: int, axis: str, res, g_remote):
+def _exchange_fp_bwd(r_pad: int, axis: str, bwd_live: bool, res, g_remote):
     (l, f), send_idx, recv_slot = res
+    if not bwd_live:
+        return (
+            jnp.zeros((l, f), g_remote.dtype), None, None,
+            jnp.zeros((r_pad,), jnp.float32),
+        )
     k, s = send_idx.shape
     g_pad = jnp.concatenate([g_remote, jnp.zeros((1, f), g_remote.dtype)])
     back = g_pad[jnp.minimum(recv_slot, r_pad)]  # [K, S, F]; sentinel -> 0
@@ -125,14 +142,17 @@ def uniform_buckets(send_idx, recv_slot, bits: int):
     return (bits,), ((send_idx, recv_slot, recv_slot, send_idx),)
 
 
-def _quant_lanes(rows, bits, key):
-    """rows [K, cap, F] -> (wire u8 [K, cap, F*b/8], params bf16 [K, cap, 2]).
+def _quant_lanes(rows, bits, key, f_true=None):
+    """rows [K, cap, F] -> (wire u8 [K, cap, F_wire*b/8], params bf16
+    [K, cap, 2]) with ``F_wire = pad_features(f_true)`` — only true feature
+    columns travel (reference quantizes exact F, ``op_util.py:20-22``).
 
     On TPU the minmax + hardware-PRNG stochastic rounding runs as the Pallas
     kernel (``ops/quant_pallas.py``); elsewhere the portable jnp path. Both
     obey the same semantics (tests compare statistics, not bit streams).
     """
     k, cap, f = rows.shape
+    ft = f if f_true is None else f_true
     flat = rows.reshape(k * cap, f)
     if jax.default_backend() == "tpu" and f % 128 == 0:
         from ..ops import quant_pallas
@@ -141,23 +161,24 @@ def _quant_lanes(rows, bits, key):
         n_pad = -(-n // quant_pallas.ROW_BLOCK) * quant_pallas.ROW_BLOCK
         x = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-        q, scale, rmin = quant_pallas.quantize_rows_tpu(x, bits, seed)
-        wire = quant.pack_rows(q[:n], bits)
+        q, scale, rmin = quant_pallas.quantize_rows_tpu(x, bits, seed, f_true=ft)
+        wire = quant.pack_rows(q[:n, : quant.pad_features(ft)], bits)
         params = jnp.stack([scale[:n], rmin[:n]], axis=-1).astype(jnp.bfloat16)
     else:
-        wire, params = quant.message_quantize(flat, bits, key)
+        wire, params = quant.message_quantize(flat, bits, key, f_true=ft)
     return wire.reshape(k, cap, -1), params.reshape(k, cap, 2)
 
 
-def _dequant_lanes(wire, params, bits, f):
+def _dequant_lanes(wire, params, bits, f, f_true=None):
     k, cap, _ = wire.shape
     flat = quant.message_dequantize(
-        wire.reshape(k * cap, -1), params.reshape(k * cap, 2), bits, f
+        wire.reshape(k * cap, -1), params.reshape(k * cap, 2), bits, f,
+        f_true=f_true,
     )
     return flat.reshape(k, cap, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def exchange_quant(
     h,
     keys,
@@ -167,6 +188,8 @@ def exchange_quant(
     r_pad: int,
     f_pad: int,
     axis: str,
+    f_true: Optional[int] = None,
+    bwd_live: bool = True,
 ):
     """Quantized boundary exchange (reference: ``qt_msg_exchange`` +
     mixed (de)quantization, ``comm.py:193-222``, ``op_util.py:189-236``).
@@ -174,19 +197,25 @@ def exchange_quant(
     h [L, F=f_pad]; keys: PRNG keys (fwd, bwd); sink [r_pad] gradient tap
     (cotangent = per-halo-slot backward variance trace); bucket_arrays:
     tuple of (send_idx, recv_slot, gather_slot, scatter_idx) int32
-    [K, cap_b] quadruples aligned with ``bucket_bits``.
+    [K, cap_b] quadruples aligned with ``bucket_bits``; ``f_true``: valid
+    feature columns (quantization range + wire width mask); ``bwd_live=False``
+    makes the backward a no-op (layer 0 never exchanges gradients, reference
+    ``assigner.py:275-285``).
     """
     remote, _ = _exchange_quant_fwd(
-        h, keys, sink, bucket_arrays, bucket_bits, r_pad, f_pad, axis
+        h, keys, sink, bucket_arrays, bucket_bits, r_pad, f_pad, axis, f_true,
+        bwd_live,
     )
     return remote
 
 
 def _exchange_quant_fwd(
-    h, keys, sink, bucket_arrays, bucket_bits, r_pad: int, f_pad: int, axis: str
+    h, keys, sink, bucket_arrays, bucket_bits, r_pad: int, f_pad: int, axis: str,
+    f_true: Optional[int] = None, bwd_live: bool = True,
 ):
     f = h.shape[1]
     assert f == f_pad, f"features must be pre-padded to {f_pad}, got {f}"
+    ft = f if f_true is None else f_true
     remote = jnp.zeros((r_pad, f), jnp.float32)
     for i, (bits, (send_idx, recv_slot, _, _)) in enumerate(
         zip(bucket_bits, bucket_arrays)
@@ -196,18 +225,25 @@ def _exchange_quant_fwd(
         k, cap = send_idx.shape
         rows = h[send_idx]  # [K, cap, F]
         key = jax.random.fold_in(keys[0], i)
-        wire, params = _quant_lanes(rows, bits, key)
+        wire, params = _quant_lanes(rows, bits, key, ft)
         wire_r = _a2a(wire, axis)
         params_r = _a2a(params, axis)
-        rows_r = _dequant_lanes(wire_r, params_r, bits, f)
+        rows_r = _dequant_lanes(wire_r, params_r, bits, f, ft)
         remote = remote.at[recv_slot.reshape(-1)].set(
             rows_r.reshape(k * cap, f), mode="drop"
         )
     return remote, (h.shape, keys, bucket_arrays)
 
 
-def _exchange_quant_bwd(bucket_bits, r_pad, f_pad, axis, res, g_remote):
+def _exchange_quant_bwd(bucket_bits, r_pad, f_pad, axis, f_true, bwd_live, res, g_remote):
     (l, f), keys, bucket_arrays = res
+    if not bwd_live:
+        return (
+            jnp.zeros((l, f), jnp.float32), None,
+            jnp.zeros((r_pad,), jnp.float32), None,
+        )
+    # backward messages are hidden-layer gradients: every column is live
+    # (layer-0 features never flow backward, reference assigner.py:275-285)
     g_pad = jnp.concatenate([g_remote, jnp.zeros((1, f), g_remote.dtype)])
     ct = jnp.zeros((l, f), jnp.float32)
     traces = []

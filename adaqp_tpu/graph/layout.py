@@ -63,7 +63,7 @@ def save_layout(path: str, lay: "PartitionLayout"):
     save = {
         "k": lay.k, "l_max": lay.l_max, "num_feats": lay.num_feats,
         "num_classes": lay.num_classes, "multilabel": int(lay.multilabel),
-        "is_bidirected": int(lay.is_bidirected),
+        "is_bidirected": int(lay.is_bidirected), "f_true": lay.f_true,
     }
     for f in _LAYOUT_ARRAYS:
         save[f] = getattr(lay, f)
@@ -108,7 +108,9 @@ def load_layout(path: str) -> Optional["PartitionLayout"]:
     return PartitionLayout(
         k=int(z["k"]), l_max=int(z["l_max"]), num_feats=int(z["num_feats"]),
         num_classes=int(z["num_classes"]), multilabel=bool(int(z["multilabel"])),
-        is_bidirected=bid, fwd_local=fl, fwd_halo=fh, bwd_local=bl,
+        is_bidirected=bid,
+        f_true=int(z["f_true"]) if "f_true" in z else int(z["num_feats"]),
+        fwd_local=fl, fwd_halo=fh, bwd_local=bl,
         bwd_halo=bh, plan_fwd=pf, plan_bwd=pb, **kw,
     )
 
@@ -146,10 +148,11 @@ class PartitionLayout:
 
     k: int
     l_max: int  # padded local rows
-    num_feats: int
+    num_feats: int  # feature columns AFTER lane padding (f_pad)
     num_classes: int
     multilabel: bool
     is_bidirected: bool
+    f_true: int  # raw feature count before padding
     part_id: np.ndarray  # int32 [N_global]
     local_ids: np.ndarray  # int64 [K, Lmax], -1 pad
     num_local: np.ndarray  # int64 [K]
@@ -452,6 +455,7 @@ def build_layout(
         k=k,
         l_max=l_max,
         num_feats=f,
+        f_true=graph.num_feats,
         num_classes=graph.num_classes,
         multilabel=graph.multilabel,
         is_bidirected=is_bid,

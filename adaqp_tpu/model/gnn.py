@@ -75,12 +75,15 @@ def apply_gnn(
     quant_keys: Optional[jnp.ndarray] = None,
     quant_buckets_per_layer=None,
     blocks=None,
+    wire_per_layer=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass for one shard (inside shard_map).
 
     ``sinks`` f32 [num_layers, r_pad] gradient taps (one per layer exchange);
     ``quant_keys`` stacked keys [num_layers, 2]; ``quant_buckets_per_layer``
-    list of (bucket_bits, bucket_arrays) per layer or None.
+    list of (bucket_bits, bucket_arrays) per layer or None;
+    ``wire_per_layer`` list of (wfwd, wbwd) WireDir pairs for the exact-size
+    ragged wire (fp or quantized), or None.
 
     Returns (logits [L, classes], fwd_traces [num_layers, K, S]).
     """
@@ -92,8 +95,14 @@ def apply_gnn(
         buckets_i = (
             None if quant_buckets_per_layer is None else quant_buckets_per_layer[i]
         )
+        # layer 0 consumes zero-padded input features; deeper layers run at
+        # exact hidden width (quantization range must ignore pad columns)
+        ft = cfg.f_true if (i == 0 and cfg.f_true) else h.shape[1]
+        wire_i = None if wire_per_layer is None else wire_per_layer[i]
         agg, tr = dist_aggregate(
-            h, sh, cfg, sinks[i], keys_i, train, buckets_i, blocks
+            h, sh, cfg, sinks[i], keys_i, train, buckets_i, blocks, f_true=ft,
+            bwd_live=(i > 0),  # layer-0 input features carry no gradient
+            wire_plans=wire_i,
         )
         traces.append(tr)
         if cfg.model is GNNType.GCN:

@@ -54,28 +54,51 @@ def dist_aggregate(
     train: bool,
     quant_buckets=None,
     blocks=None,
+    f_true: Optional[int] = None,
+    bwd_live: bool = True,
+    wire_plans=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Aggregate features/embeddings across the partitioned graph.
 
     ``h`` [L, F] per-shard local rows (called inside shard_map); ``sink``
     [r_pad] gradient tap (backward variance trace); ``keys`` stacked
     (fwd, bwd) PRNG keys for quantized mode; ``quant_buckets``
-    (bucket_bits, bucket_arrays) from the assigner, or None for fp.
+    (bucket_bits, bucket_arrays) from the assigner (dense padded wire) or
+    None; ``wire_plans`` (wfwd, wbwd) :class:`~adaqp_tpu.comm.wire.WireDir`
+    pair for the exact-size ragged wire (takes precedence; carries fp or
+    quantized layouts).
 
     Returns ``(out [L, F], fwd_trace [K, S])`` where fwd_trace is the
     per-sent-lane variance proxy (reference ``@trace_input``,
     ``op_util.py:91-99``).
     """
-    quantized = cfg.mode.quantized and train and quant_buckets is not None
-    fwd_trace = variance_proxy(h[sh.send_idx], h.shape[1])
+    quantized = cfg.mode.quantized and train and (
+        quant_buckets is not None or wire_plans is not None
+    )
+    ft = h.shape[1] if f_true is None else f_true
+    fwd_trace = variance_proxy(h[sh.send_idx], ft)
 
-    if quantized:
+    if cfg.k == 1:
+        # single partition: no cross-partition messages exist
+        remote = jnp.zeros((cfg.r_pad, h.shape[1]), jnp.float32)
+    elif wire_plans is not None:
+        from ..comm.exchange_ragged import exchange_ragged
+
+        wfwd, wbwd = wire_plans
+        remote = exchange_ragged(
+            h, keys, sink, wfwd, wbwd if bwd_live else None,
+            cfg.r_pad, h.shape[1], cfg.axis, ft,
+        )
+    elif quantized:
         bucket_bits, bucket_arrays = quant_buckets
         remote = exchange_quant(
-            h, keys, sink, bucket_arrays, bucket_bits, cfg.r_pad, h.shape[1], cfg.axis
+            h, keys, sink, bucket_arrays, bucket_bits, cfg.r_pad, h.shape[1],
+            cfg.axis, ft, bwd_live,
         )
     else:
-        remote = exchange_fp(h, sh.send_idx, sh.recv_slot, sink, cfg.r_pad, cfg.axis)
+        remote = exchange_fp(
+            h, sh.send_idx, sh.recv_slot, sink, cfg.r_pad, cfg.axis, bwd_live
+        )
 
     if not cfg.mode.overlapped:
         # serialize: local aggregation must wait for the exchange (Vanilla /

@@ -29,7 +29,7 @@ inside ``shard_map``). The fused Pallas TPU kernels live in
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,24 +65,41 @@ def bytes_per_row(f_pad: int, bits: int) -> int:
     return f_pad * bits // 8
 
 
-def _row_minmax(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row min/max (reference: compute_minmax_params, op_util.py:20-22)."""
+def _row_minmax(
+    x: jnp.ndarray, f_true: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row min/max (reference: compute_minmax_params, op_util.py:20-22).
+
+    ``f_true``: number of VALID feature columns; columns beyond it are
+    zero padding and must not poison the range (the reference quantizes
+    exact F, ``op_util.py:20-22`` — an all-positive row would otherwise get
+    rmin dragged to 0 by the pad zeros, widening the step).
+    """
+    f = x.shape[-1]
+    if f_true is not None and f_true < f:
+        col = jnp.arange(f) < f_true
+        rmin = jnp.min(jnp.where(col, x, jnp.inf), axis=-1)
+        rmax = jnp.max(jnp.where(col, x, -jnp.inf), axis=-1)
+        return rmin, rmax
     return jnp.min(x, axis=-1), jnp.max(x, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("bits", "stochastic"))
+@partial(jax.jit, static_argnames=("bits", "stochastic", "f_true"))
 def quantize_rows(
     x: jnp.ndarray,
     bits: int,
     key: jax.Array,
     stochastic: bool = True,
+    f_true: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Quantize rows of ``x`` [N, F] to unpacked uint8 codes.
 
-    Returns ``(q uint8 [N, F], scale f32 [N], rmin f32 [N])``.
+    Returns ``(q uint8 [N, F], scale f32 [N], rmin f32 [N])``. Codes in
+    columns >= ``f_true`` are garbage (their range is unconstrained); callers
+    must drop or zero them after dequantization.
     """
     x = x.astype(jnp.float32)
-    rmin, rmax = _row_minmax(x)
+    rmin, rmax = _row_minmax(x, f_true)
     scale = (2.0**bits - 1.0) / jnp.maximum(rmax - rmin, RANGE_EPS)
     y = (x - rmin[:, None]) * scale[:, None]
     if stochastic:
@@ -135,28 +152,58 @@ def unpack_rows(p: jnp.ndarray, bits: int, f_pad: int) -> jnp.ndarray:
     return g.reshape(n, f_pad).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("bits", "stochastic"))
+@partial(jax.jit, static_argnames=("bits", "stochastic", "f_true"))
 def message_quantize(
-    x: jnp.ndarray, bits: int, key: jax.Array, stochastic: bool = True
+    x: jnp.ndarray,
+    bits: int,
+    key: jax.Array,
+    stochastic: bool = True,
+    f_true: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full send-side transform: rows [N, F_pad] -> (wire uint8 [N, F_pad*bits/8],
-    params bf16 [N, 2] = (scale, rmin)).
+    """Full send-side transform: rows [N, F_pad] -> (wire uint8
+    [N, F_wire*bits/8], params bf16 [N, 2] = (scale, rmin)) where
+    ``F_wire = pad_features(f_true)`` — only TRUE feature columns (rounded to
+    the packing multiple) travel on the wire, matching the reference's exact-F
+    quantization (``op_util.py:20-22``).
 
     Reference analog: message_quantization (op_util.py:69-76).
     """
-    q, scale, rmin = quantize_rows(x, bits, key, stochastic)
+    f_pad = x.shape[-1]
+    ft = f_pad if f_true is None else f_true
+    q, scale, rmin = quantize_rows(x, bits, key, stochastic, ft)
+    f_wire = pad_features(ft)
+    if f_wire <= f_pad:
+        q = q[:, :f_wire]
+    else:  # stored width itself not packing-aligned: pad codes with zeros
+        q = jnp.pad(q, ((0, 0), (0, f_wire - f_pad)))
     packed = pack_rows(q, bits)
     params = jnp.stack([scale, rmin], axis=-1).astype(jnp.bfloat16)
     return packed, params
 
 
-@partial(jax.jit, static_argnames=("bits", "f_pad"))
-def message_dequantize(packed: jnp.ndarray, params: jnp.ndarray, bits: int, f_pad: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("bits", "f_pad", "f_true"))
+def message_dequantize(
+    packed: jnp.ndarray,
+    params: jnp.ndarray,
+    bits: int,
+    f_pad: int,
+    f_true: Optional[int] = None,
+) -> jnp.ndarray:
     """Recv-side transform: (wire, bf16 params) -> f32 rows [N, F_pad].
 
-    Reference analog: message_dequantization (op_util.py:78-83).
+    Columns >= ``f_true`` are zeroed (they are layout padding, absent from
+    the wire). Reference analog: message_dequantization (op_util.py:78-83).
     """
-    q = unpack_rows(packed, bits, f_pad)
+    ft = f_pad if f_true is None else f_true
+    f_wire = pad_features(ft)
+    q = unpack_rows(packed, bits, f_wire)
     scale = params[:, 0].astype(jnp.float32)
     rmin = params[:, 1].astype(jnp.float32)
-    return q.astype(jnp.float32) / scale[:, None] + rmin[:, None]
+    x = q.astype(jnp.float32) / scale[:, None] + rmin[:, None]
+    if ft < f_wire:
+        x = jnp.where(jnp.arange(f_wire) < ft, x, 0.0)
+    if f_wire < f_pad:
+        x = jnp.pad(x, ((0, 0), (0, f_pad - f_wire)))
+    elif f_wire > f_pad:
+        x = x[:, :f_pad]
+    return x

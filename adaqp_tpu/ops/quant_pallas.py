@@ -19,7 +19,7 @@ callers pad N to a multiple of the block.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,14 +30,20 @@ ROW_BLOCK = 256
 _RANGE_EPS = 1e-10
 
 
-def _quant_kernel(bits: int, seed_ref, x_ref, q_ref, scale_ref, rmin_ref):
+def _quant_kernel(bits: int, f_true: int, seed_ref, x_ref, q_ref, scale_ref, rmin_ref):
     # Decorrelate blocks by passing the grid position as a second seed word
     # (the TPU PRNG hashes all seed words; adjacent integer seeds would
     # otherwise yield correlated streams).
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     x = x_ref[:].astype(jnp.float32)
-    rmin = jnp.min(x, axis=1, keepdims=True)
-    rmax = jnp.max(x, axis=1, keepdims=True)
+    if f_true < x.shape[1]:
+        # mask layout-padding columns out of the range (see quant._row_minmax)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) < f_true
+        rmin = jnp.min(jnp.where(col, x, jnp.inf), axis=1, keepdims=True)
+        rmax = jnp.max(jnp.where(col, x, -jnp.inf), axis=1, keepdims=True)
+    else:
+        rmin = jnp.min(x, axis=1, keepdims=True)
+        rmax = jnp.max(x, axis=1, keepdims=True)
     scale = (2.0**bits - 1.0) / jnp.maximum(rmax - rmin, _RANGE_EPS)
     y = (x - rmin) * scale
     rb = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
@@ -51,15 +57,19 @@ def _quant_kernel(bits: int, seed_ref, x_ref, q_ref, scale_ref, rmin_ref):
     rmin_ref[:] = rmin
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bits", "interpret", "f_true"))
 def quantize_rows_tpu(
-    x: jnp.ndarray, bits: int, seed: jnp.ndarray, interpret: bool = False
+    x: jnp.ndarray,
+    bits: int,
+    seed: jnp.ndarray,
+    interpret: bool = False,
+    f_true: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Quantize rows of ``x`` [N, F] (N % ROW_BLOCK == 0).
 
     Returns ``(q uint8 [N, F], scale f32 [N], rmin f32 [N])`` — same contract
-    as ``quant.quantize_rows`` but seeded by an int32 scalar (TPU hardware
-    PRNG) instead of a jax PRNG key.
+    as ``quant.quantize_rows`` (incl. ``f_true`` range masking) but seeded by
+    an int32 scalar (TPU hardware PRNG) instead of a jax PRNG key.
     """
     n, f = x.shape
     if n % ROW_BLOCK:
@@ -67,7 +77,7 @@ def quantize_rows_tpu(
     grid = (n // ROW_BLOCK,)
     seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
     q, scale, rmin = pl.pallas_call(
-        functools.partial(_quant_kernel, bits),
+        functools.partial(_quant_kernel, bits, f if f_true is None else f_true),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -44,8 +44,14 @@ class RunConfig:
     log_steps: int = 10
     seed: int = 42
     edge_chunk: Optional[int] = None
-    measure_breakdown: bool = False  # time comm/quant/central/marginal probes
+    # time comm/quant/central/marginal probes (the reference always records
+    # these buckets, AdaQP/util/timer.py:29-51; the probe costs seconds once)
+    measure_breakdown: bool = True
     spmm_impl: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
+    # boundary-exchange wire: "ragged" = exact per-pair sizes via
+    # ragged_all_to_all (reference-parity byte volume); "padded" = dense
+    # all_to_all at worst-channel capacity (legacy round-1 path)
+    wire_impl: str = "ragged"
     agg_dtype: str = "float32"  # aggregation compute dtype
     # checkpoint / resume (capability absent in the reference, SURVEY.md §5)
     ckpt_every: int = 0  # epochs between checkpoints; 0 = off

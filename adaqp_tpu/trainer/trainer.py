@@ -123,6 +123,19 @@ class Trainer:
             agg_dtype=cfg.agg_dtype,
         )
         self.k = self.layout.k
+        # TRUE message widths per layer (features, then hidden): drive the
+        # assigner's byte model and the exact-size wire layouts
+        self.layer_dims = [self.layout.f_true] + [cfg.hidden_dim] * (
+            cfg.num_layers - 1
+        )
+        self.wire_dev = None  # quantized ragged wire plans (per assignment)
+        self.wire_fp_dev = None  # fp ragged wire plans (Vanilla/AdaQP-p + eval)
+        if cfg.wire_impl == "ragged" and self.k > 1:
+            from ..comm.wire import wire_fp
+
+            self.wire_fp_dev = self._put_wire(
+                wire_fp(self.layout.plan_fwd, self.layer_dims, cfg.num_layers)
+            )
         self.train_count = float(self.graph.train_mask.sum())
         self.val_count = float(self.graph.val_mask.sum())
         self.test_count = float(self.graph.test_mask.sum())
@@ -151,7 +164,7 @@ class Trainer:
                 group_size=cfg.group_size,
                 coe_lambda=cfg.coe_lambda,
                 assign_bits=cfg.assign_bits,
-                wire_feats=self.static.f_pad,
+                wire_feats=self.layout.f_true,
             )
             if self.scheme is Scheme.ADAPTIVE:
                 sizes, times = profile_cost_model(
@@ -205,9 +218,28 @@ class Trainer:
         self.trace_fwd = jnp.zeros(shape_f)
         self.trace_bwd = jnp.zeros(shape_b)
 
+    def _put_wire(self, plans):
+        spec = jax.sharding.NamedSharding(self.mesh, P("part"))
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), spec), plans
+        )
+
     def _lower_buckets(self):
-        """Assignment -> device bucket arrays (train-buffer regeneration,
-        reference ``buffer.py:176-248``)."""
+        """Assignment -> device wire layouts (train-buffer regeneration,
+        reference ``buffer.py:176-248``): exact-size ragged wire plans
+        (default) or dense padded bucket arrays (legacy)."""
+        if self.cfg.wire_impl == "ragged":
+            if self.k > 1:
+                from ..comm.wire import wire_from_assignment
+
+                self.wire_dev = self._put_wire(
+                    wire_from_assignment(
+                        self.layout.plan_fwd, self.assignment, self.layer_dims
+                    )
+                )
+            self.bucket_bits = None
+            self.buckets_dev = None
+            return
         lowered = buckets_from_assignment(
             self.layout.plan_fwd, self.assignment, self.layout.l_max
         )
@@ -222,13 +254,18 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def _loss_parts(self, params, sh_stacked, sinks, key, buckets, blocks, train: bool):
+    def _loss_parts(
+        self, params, sh_stacked, sinks, key, buckets, blocks, wire, train: bool
+    ):
         cfg = self.static
         L = cfg.num_layers
 
-        def body(params, sh_st, sinks, blk, *bucket_leaves):
+        def body(params, sh_st, sinks, blk, wire_st, *bucket_leaves):
             s = sh_st.local()
             blk_local = None if blk is None else blk.local()
+            wire_local = (
+                None if wire_st is None else jax.tree.map(lambda a: a[0], wire_st)
+            )
             me = jax.lax.axis_index(cfg.axis)
             dkey = jax.random.fold_in(jax.random.fold_in(key, me), 1)
             qb = None
@@ -243,11 +280,12 @@ class Trainer:
                         for _ in self.bucket_bits[layer]
                     )
                     qb.append((self.bucket_bits[layer], quads))
+            if buckets is not None or (wire is not None and self.mode.quantized):
                 qkeys = jax.random.split(jax.random.fold_in(key, me + 1000), (L, 2))
             logits, traces = apply_gnn(
                 params, s, cfg, sinks[0], train,
                 dropout_key=dkey, quant_keys=qkeys, quant_buckets_per_layer=qb,
-                blocks=blk_local,
+                blocks=blk_local, wire_per_layer=wire_local,
             )
             loss = masked_loss_sum(logits, s.labels, s.train_mask, cfg.multilabel)
             return loss[None], traces[None]
@@ -257,7 +295,7 @@ class Trainer:
             for layer_arrays in buckets:
                 for quad in layer_arrays:
                     leaves.extend(quad)
-        n_in = 4 + len(leaves)
+        n_in = 5 + len(leaves)
         fn = shard_map(
             body,
             mesh=self.mesh,
@@ -265,19 +303,20 @@ class Trainer:
             out_specs=(P("part"), P("part")),
             check_vma=False,  # pallas_call outputs carry no vma annotation
         )
-        return fn(params, sh_stacked, sinks, blocks, *leaves)
+        return fn(params, sh_stacked, sinks, blocks, wire, *leaves)
 
     def _make_train_step(self):
         """Build the jitted train step for the CURRENT bucket shapes."""
         adaptive = self.scheme is Scheme.ADAPTIVE and self.mode.quantized
         quant = self.mode.quantized
 
-        def step(params, opt_state, sh, key, trace_f, trace_b, buckets, blocks):
+        def step(params, opt_state, sh, key, trace_f, trace_b, buckets, blocks, wire):
             sinks = jnp.zeros((self.k, self.static.num_layers, self.static.r_pad))
 
             def loss_fn(params, sinks):
                 parts, traces = self._loss_parts(
-                    params, sh, sinks, key, buckets if quant else None, blocks, True
+                    params, sh, sinks, key, buckets if quant else None, blocks,
+                    wire, True,
                 )
                 return parts.sum() / self.train_count, traces
 
@@ -302,12 +341,16 @@ class Trainer:
     def _make_eval_step(self):
         cfg = self.static
 
-        def body(params, sh_st, blk):
+        def body(params, sh_st, blk, wire_st):
             s = sh_st.local()
             sinks = jnp.zeros((cfg.num_layers, cfg.r_pad))
             logits, _ = apply_gnn(
                 params, s, cfg, sinks, False,
                 blocks=None if blk is None else blk.local(),
+                wire_per_layer=(
+                    None if wire_st is None
+                    else jax.tree.map(lambda a: a[0], wire_st)
+                ),
             )
             outs = []
             for mask in (s.train_mask, s.val_mask, s.test_mask):
@@ -319,12 +362,12 @@ class Trainer:
             return jnp.stack(outs)[None].astype(jnp.float32)
 
         fn = shard_map(
-            body, mesh=self.mesh, in_specs=(P(), P("part"), P("part")),
+            body, mesh=self.mesh, in_specs=(P(), P("part"), P("part"), P("part")),
             out_specs=P("part"), check_vma=False,
         )
 
-        def step(params, sh, blocks):
-            pieces = fn(params, sh, blocks).sum(axis=0)
+        def step(params, sh, blocks, wire):
+            pieces = fn(params, sh, blocks, wire).sum(axis=0)
             if cfg.multilabel:
                 def f1(tp, fp, fn):
                     return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1.0)
@@ -349,10 +392,9 @@ class Trainer:
             # trace_fwd is [K(shard), L, K, S]: shard s's row is its own sends
             tf = np.transpose(np.asarray(self.trace_fwd), (1, 0, 2, 3))  # [L, K, K, S]
             tb = np.transpose(np.asarray(self.trace_bwd), (1, 0, 2))  # [L, K, R]
-            dims = [self.static.f_pad] + [self.static.hidden] * (
-                self.cfg.num_layers - 1
+            self.assignment = self.assigner.assign(
+                tf, tb, layer_dims=self.layer_dims
             )
-            self.assignment = self.assigner.assign(tf, tb, layer_dims=dims)
             self._reset_traces()
         self._lower_buckets()
         self._train_step = self._make_train_step()  # bucket shapes changed
@@ -514,16 +556,19 @@ class Trainer:
                 self._reassign(epoch)
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
+            train_wire = self.wire_dev if self.mode.quantized else self.wire_fp_dev
             (self.params, self.opt_state, loss, self.trace_fwd, self.trace_bwd) = (
                 self._train_step(
                     self.params, self.opt_state, self.sh, k,
                     self.trace_fwd, self.trace_bwd, self.buckets_dev, self.blocks,
+                    train_wire,
                 )
             )
             jax.block_until_ready(loss)
             self.timer.add_epoch(time.perf_counter() - t0)
             tr, va, te = (
-                float(x) for x in eval_step(self.params, self.sh, self.blocks)
+                float(x)
+                for x in eval_step(self.params, self.sh, self.blocks, self.wire_fp_dev)
             )
             self.recorder.add(tr, va, te)
             if epoch % cfg.log_steps == 0:

@@ -20,6 +20,7 @@ def _run(tmp_path, **over):
         "exp_path": str(tmp_path / "exp"),
         "synth_kwargs": SYNTH,
         "profile_data_length": 2,
+        "measure_breakdown": False,  # probe covered by test_breakdown_buckets
         **over,
     }
     cfg = RunConfig.from_yaml("sbm", over)
@@ -73,6 +74,24 @@ def test_sage_multilabel(tmp_path):
     )
     _, tr, va, te = rec["best"]
     assert va > 0.6, f"multilabel micro-F1 {va}"
+
+
+def test_breakdown_buckets_recorded(tmp_path):
+    # measure_breakdown defaults ON and must yield nonzero Comm/Quant/
+    # Central/Marginal buckets in the reference-format CSV for a quantized
+    # run (reference always records them, AdaQP/util/timer.py:29-51)
+    t, rec = _run(
+        tmp_path, mode="AdaQP", assign_scheme="uniform", num_epochs=3,
+        measure_breakdown=True,
+    )
+    assert RunConfig().measure_breakdown is True
+    base = os.path.join(str(tmp_path / "exp"), "sbm320", "4part", "gcn")
+    csv = np.genfromtxt(
+        os.path.join(base, "time", "AdaQP_uniform.csv"), delimiter=",", names=True
+    )
+    for bucket in ("Comm", "Quant", "Central", "Marginal"):
+        val = np.atleast_1d(csv[bucket])[0]
+        assert val > 0.0, f"{bucket} bucket is zero in the time CSV"
 
 
 def test_partition_cache_roundtrip(tmp_path):

@@ -1,0 +1,263 @@
+"""Exact-size ragged wire: emulation semantics, layout invariants, byte
+accounting, and exchange equivalence vs the dense padded path (round-1
+VERDICT missing #2 "done" criteria)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from adaqp_tpu.assigner import buckets_from_assignment, random_assignment
+from adaqp_tpu.comm import exchange_fp, exchange_quant
+from adaqp_tpu.comm.exchange_ragged import exchange_ragged
+from adaqp_tpu.comm.ragged import _emulate
+from adaqp_tpu.comm.wire import (
+    exact_message_bytes,
+    wire_bytes,
+    wire_cols,
+    wire_fp,
+    wire_from_assignment,
+)
+from adaqp_tpu.common.types import GNNType
+from adaqp_tpu.graph import build_layout, partition_graph
+from adaqp_tpu.graph.device import make_mesh
+from adaqp_tpu.helper import sbm_graph
+
+K = 4
+
+
+def test_ragged_emulation_matches_lax_docstring():
+    # the 2-device worked example from lax.ragged_all_to_all's docstring
+    import numpy as _np
+
+    mesh = make_mesh(2)
+    operands = jnp.asarray([[1.0, 2, 2], [3, 4, 0]])
+    outputs = jnp.zeros((2, 4))
+    in_off = jnp.asarray([[0, 1], [0, 1]], jnp.int32)
+    send_sz = jnp.asarray([[1, 2], [1, 1]], jnp.int32)
+    out_off = jnp.asarray([[0, 0], [1, 2]], jnp.int32)
+    recv_sz = jnp.asarray([[1, 1], [2, 1]], jnp.int32)
+
+    def body(op, out, io, ss, oo, rs):
+        return _emulate(op[0], out[0], io[0], ss[0], oo[0], rs[0], "part", 3)[None]
+
+    res = shard_map(
+        body, mesh=mesh, in_specs=(P("part"),) * 6, out_specs=P("part")
+    )(operands, outputs, in_off, send_sz, out_off, recv_sz)
+    _np.testing.assert_array_equal(
+        np.asarray(res), [[1.0, 3, 0, 0], [2, 2, 4, 0]]
+    )
+
+
+def _layout_and_plans(f=16, num_layers=2, seed=5):
+    g = sbm_graph(n=240, blocks=4, num_feats=f, seed=8)
+    lay = build_layout(g, partition_graph(g, K, "ldg"), GNNType.GCN)
+    asg = random_assignment(lay.plan_fwd, num_layers, seed=seed)
+    dims = [lay.f_true] + [f] * (num_layers - 1)
+    plans = wire_from_assignment(lay.plan_fwd, asg, dims)
+    return g, lay, asg, dims, plans
+
+
+def test_wire_layout_invariants():
+    _, lay, asg, dims, plans = _layout_and_plans()
+    plan = lay.plan_fwd
+    for fwd, bwd in plans:
+        for w in (fwd, bwd):
+            if w is None:
+                continue
+            k = w.in_off.shape[0]
+            # sizes symmetric: recv_sz[r, s] == send_sz[s, r]
+            np.testing.assert_array_equal(w.recv_sz, w.send_sz.T)
+            np.testing.assert_array_equal(np.diag(w.send_sz), 0)
+            for s in range(k):
+                # send slices tile [0, total) contiguously
+                total = 0
+                for r in range(k):
+                    assert w.in_off[s, r] == total
+                    total += w.send_sz[s, r]
+                assert total <= w.sb_cap
+                # every data/param word offset lands inside its pair slice,
+                # each word exactly once
+                used = np.zeros(total, bool)
+                for bi, wpr in enumerate(w.wpr):
+                    offs = w.q_off[bi][s]
+                    valid = offs < total
+                    for o in offs[valid]:
+                        assert not used[o : o + wpr].any()
+                        used[o : o + wpr] = True
+                    if w.has_params:
+                        poffs = w.q_poff[bi][s][valid]
+                        assert not used[poffs].any()
+                        used[poffs] = True
+                assert used.all(), f"holes in send buffer of shard {s}"
+
+
+def test_byte_accounting_skewed_partition():
+    # skewed partition: random partitioning of an SBM graph yields uneven
+    # pair loads; the ragged wire must carry within 15% of the reference's
+    # exact packed bytes (VERDICT r1 next-round #1 done-criterion (a))
+    g = sbm_graph(n=300, blocks=3, num_feats=130, seed=3)
+    part = partition_graph(g, K, "random")
+    lay = build_layout(g, part, GNNType.GCN)
+    asg = random_assignment(lay.plan_fwd, 2, seed=1)
+    dims = [lay.f_true, 64]
+    plans = wire_from_assignment(lay.plan_fwd, asg, dims)
+    dirs = [d for pair in plans for d in pair if d is not None]
+    got = wire_bytes(dirs)
+    exact = exact_message_bytes(lay.plan_fwd, asg, dims)
+    assert exact > 0
+    assert got >= exact  # word alignment can only add
+    assert got <= 1.15 * exact, (got, exact)
+    # and the dense padded path is demonstrably worse on this skew
+    from adaqp_tpu.ops.quant import bytes_per_row, pad_features
+
+    padded = 0
+    for layer, (bits_t, arrays) in enumerate(
+        buckets_from_assignment(lay.plan_fwd, asg, lay.l_max)
+    ):
+        fw = pad_features(dims[layer])
+        for bits, (si, _, gs, _) in zip(bits_t, arrays):
+            k, _, cap = si.shape
+            lanes = k * (k - 1) * cap
+            padded += lanes * (bytes_per_row(fw, bits) + 4) * 2  # fwd + bwd
+    assert padded > 1.3 * got, (padded, got)
+
+
+def test_exchange_ragged_fp_matches_dense(rng):
+    g, lay, _, _, _ = _layout_and_plans()
+    plan = lay.plan_fwd
+    # layer-1-style plan: carries a backward wire (layer 0's bwd is None by
+    # design -- input features have no gradient)
+    wfwd, wbwd = wire_fp(plan, [lay.num_feats, lay.num_feats], 2)[1]
+    mesh = make_mesh(K)
+    h = jnp.asarray(lay.feats)
+    f = lay.num_feats
+    sink = jnp.zeros((K, plan.r_pad))
+    gw = jnp.asarray(rng.normal(size=(K, plan.r_pad, f)).astype(np.float32))
+    send_idx = jnp.asarray(plan.send_idx)
+    recv_slot = jnp.asarray(plan.recv_slot)
+    wdev = jax.tree.map(jnp.asarray, (wfwd, wbwd))
+
+    def run_ragged(h, sk, w, gww):
+        def body(h, sk, w, gww):
+            wf, wb = w
+            rem = exchange_ragged(
+                h[0], None, sk[0], wf.local(), wb.local(), plan.r_pad, f,
+                "part", lay.f_true,
+            )
+            return rem[None], (rem * gww[0]).sum()[None]
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P("part"),) * 4,
+            out_specs=(P("part"), P("part")),
+        )(h, sk, w, gww)
+
+    def run_fp(h, sk, gww):
+        def body(h, sk, si, rs, gww):
+            rem = exchange_fp(h[0], si[0], rs[0], sk[0], plan.r_pad, "part")
+            return rem[None], (rem * gww[0]).sum()[None]
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P("part"),) * 5,
+            out_specs=(P("part"), P("part")),
+        )(h, sk, send_idx, recv_slot, gww)
+
+    rem_r, _ = run_ragged(h, sink, wdev, gw)
+    rem_d, _ = run_fp(h, sink, gw)
+    np.testing.assert_allclose(np.asarray(rem_r), np.asarray(rem_d), atol=1e-6)
+
+    # fp gradients must match exactly (same routing, no quantization)
+    g_r = jax.grad(lambda h: run_ragged(h, sink, wdev, gw)[1].sum())(h)
+    g_d = jax.grad(lambda h: run_fp(h, sink, gw)[1].sum())(h)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_d), atol=1e-5)
+
+
+def test_exchange_ragged_quant_roundtrip_and_grad(rng):
+    g, lay, asg, dims, plans = _layout_and_plans(num_layers=2)
+    plan = lay.plan_fwd
+    f = lay.num_feats
+    mesh = make_mesh(K)
+    h = jnp.asarray(lay.feats)
+    sink = jnp.zeros((K, plan.r_pad))
+    gw = jnp.asarray(rng.normal(size=(K, plan.r_pad, f)).astype(np.float32))
+    # layer 1 (has a backward plan); message width = dims[1] <= f here? use
+    # layer 0 fwd for the roundtrip and layer 1 for the gradient test
+    w0 = jax.tree.map(jnp.asarray, plans[0][0])
+    w1f = jax.tree.map(jnp.asarray, plans[1][0])
+    w1b = jax.tree.map(jnp.asarray, plans[1][1])
+
+    def run(h, keys, sk, wf, wb, gww, ft):
+        def body(h, sk, wf_wb_gww):
+            wf, wb, gww = wf_wb_gww
+            rem = exchange_ragged(
+                h[0], keys, sk[0],
+                wf.local(), None if wb is None else wb.local(),
+                plan.r_pad, f, "part", ft,
+            )
+            return rem[None], (rem * gww[0]).sum()[None]
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P("part"),) * 3,
+            out_specs=(P("part"), P("part")),
+        )(h, sk, (wf, wb, gww))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    rem, _ = run(h, keys, sink, w0, None, gw, lay.f_true)
+    rem = np.asarray(rem)
+    # every valid remote slot is within one quantization step of the true row
+    feats_g = np.zeros((g.num_nodes, f), np.float32)
+    for p in range(K):
+        c = int(lay.num_local[p])
+        feats_g[lay.local_ids[p, :c]] = lay.feats[p, :c]
+    ft = lay.f_true
+    for r in range(K):
+        rg = plan.remote_global[r]
+        for slot in range(int(plan.num_remote[r])):
+            node = rg[slot]
+            true_row = feats_g[node, :ft]
+            # recover this slot's bits from the assignment
+            err = np.abs(rem[r, slot, :ft] - true_row).max()
+            rng_width = true_row.max() - true_row.min()
+            step = rng_width / 3.0 + 1e-6  # worst case: 2-bit
+            bf16_slack = np.abs(true_row).max() * 2**-7 + 1e-6
+            assert err <= step + bf16_slack, (r, slot, err, step)
+        # pad slots untouched
+        np.testing.assert_array_equal(rem[r, int(plan.num_remote[r]) :], 0.0)
+
+    # gradient through the layer-1 plan: unbiased estimate of fp routing grad
+    def loss_q(h, keys):
+        return run(h, keys, sink, w1f, w1b, gw, f)[1].sum()
+
+    fp_plans = wire_fp(plan, [f, f], 2)
+    wf_fp = jax.tree.map(jnp.asarray, fp_plans[1][0])
+    wb_fp = jax.tree.map(jnp.asarray, fp_plans[1][1])
+
+    def loss_fp(h):
+        return run(h, None, sink, wf_fp, wb_fp, gw, f)[1].sum()
+
+    g_fp = np.asarray(jax.grad(loss_fp)(h))
+    grad_q = jax.jit(jax.grad(loss_q))
+    reps = 24
+    acc = np.zeros_like(g_fp)
+    g_q = None
+    for r in range(reps):
+        ks = jax.random.split(jax.random.PRNGKey(100 + r), 2)
+        g_q = np.asarray(grad_q(h, ks))
+        acc += g_q
+    mean_rel = np.abs(acc / reps - g_fp).mean() / (np.abs(g_fp).mean() + 1e-9)
+    single_rel = np.abs(g_q - g_fp).mean() / (np.abs(g_fp).mean() + 1e-9)
+    assert mean_rel < 0.3 * single_rel + 0.02, (mean_rel, single_rel)
+    assert ((np.abs(g_q) > 1e-12) == (np.abs(g_fp) > 1e-12)).mean() > 0.99
+
+
+def test_wire_cols_alignment():
+    # per-bucket word alignment: 32/bits columns per word
+    assert wire_cols(602, 2) == 608
+    assert wire_cols(602, 4) == 608
+    assert wire_cols(602, 8) == 604
+    assert wire_cols(602, 32) == 602
+    assert wire_cols(16, 2) == 16
+    for f in (1, 17, 130, 602):
+        for b in (2, 4, 8, 32):
+            assert (wire_cols(f, b) * b) % 32 == 0
+            assert wire_cols(f, b) >= f
