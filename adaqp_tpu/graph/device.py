@@ -34,6 +34,10 @@ from .layout import PartitionLayout
         "fl_dst",
         "fh_src",
         "fh_dst",
+        "bl_src",
+        "bl_dst",
+        "bh_src",
+        "bh_dst",
         "send_idx",
         "recv_slot",
         "num_local",
@@ -57,6 +61,10 @@ class ShardArrays:
     fl_dst: jnp.ndarray
     fh_src: jnp.ndarray  # i32 [K, E_hl]  forward halo-src edges (src = remote SLOT)
     fh_dst: jnp.ndarray
+    bl_src: jnp.ndarray  # i32 [K, E_lc]  transposed local edges (bwd agg)
+    bl_dst: jnp.ndarray
+    bh_src: jnp.ndarray  # i32 [K, E_hl]  transposed halo edges (src=local, dst=SLOT)
+    bh_dst: jnp.ndarray
     send_idx: jnp.ndarray  # i32 [K, K, S]
     recv_slot: jnp.ndarray  # i32 [K, K, S]
     num_local: jnp.ndarray  # i32 [K]
@@ -107,6 +115,10 @@ def shard_arrays_from_layout(layout: PartitionLayout) -> ShardArrays:
         fl_dst=jnp.asarray(layout.fwd_local[1]),
         fh_src=jnp.asarray(fh_src),
         fh_dst=jnp.asarray(layout.fwd_halo[1]),
+        bl_src=jnp.asarray(layout.bwd_local[0]),
+        bl_dst=jnp.asarray(layout.bwd_local[1]),
+        bh_src=jnp.asarray(layout.bwd_halo[0]),
+        bh_dst=jnp.asarray(layout.bwd_halo[1]),
         send_idx=jnp.asarray(layout.plan_fwd.send_idx),
         recv_slot=jnp.asarray(layout.plan_fwd.recv_slot),
         num_local=jnp.asarray(layout.num_local, dtype=jnp.int32),

@@ -20,9 +20,15 @@ Per partition p (all arrays padded to global maxima and stacked on a leading
   identical (sum over a disjoint edge partition), needs no node relabeling
   or copy buffers, and strictly increases the work that can overlap with the
   exchange (local->marginal edges also run pre-join).
-- backward edges: the same construction on the reversed graph (grads flow
-  v -> u). For bidirected graphs this is the forward structure re-used, as
-  in the reference (``graphEngine.py:135-147``).
+- backward edges = the TRANSPOSE of the forward edge lists (grads flow
+  v -> u along each forward edge u -> v), dst-sorted so the backward
+  aggregation is the same gather-form segment-sum as the forward — never
+  AD's unsorted scatter transpose (the reference prebuilds a reverse graph
+  for the same reason, ``graphEngine.py:135-147``; here the exchange's
+  custom VJP transposes the routing, so only the edge transpose is needed).
+  ``bwd_local`` reverses local-src edges (identical to ``fwd_local`` for
+  bidirected graphs); ``bwd_halo`` maps local rows -> remote slots (the
+  cotangent of the halo rows).
 - exchange plan: for each ordered pair (s -> r), the nodes s must send to r
   (r's halo nodes owned by s) with padded send gather indices and receiver
   scatter slots, plus the per-message aggregation-importance scores the
@@ -50,8 +56,9 @@ _PLAN_FIELDS = (
 _LAYOUT_ARRAYS = (
     "part_id", "local_ids", "num_local", "num_central", "num_marginal",
     "feats", "labels", "train_mask", "val_mask", "test_mask",
-    "deg_in_fwd", "deg_out_fwd", "deg_in_bwd", "deg_out_bwd",
+    "deg_in_fwd", "deg_out_fwd",
 )
+_LAYOUT_VERSION = 2  # r2: transposed bwd lists, no plan_bwd/deg_*_bwd freight
 
 
 def save_layout(path: str, lay: "PartitionLayout"):
@@ -64,6 +71,7 @@ def save_layout(path: str, lay: "PartitionLayout"):
         "k": lay.k, "l_max": lay.l_max, "num_feats": lay.num_feats,
         "num_classes": lay.num_classes, "multilabel": int(lay.multilabel),
         "is_bidirected": int(lay.is_bidirected), "f_true": lay.f_true,
+        "version": _LAYOUT_VERSION,
     }
     for f in _LAYOUT_ARRAYS:
         save[f] = getattr(lay, f)
@@ -72,11 +80,10 @@ def save_layout(path: str, lay: "PartitionLayout"):
         ("bl", lay.bwd_local), ("bh", lay.bwd_halo),
     ):
         save[tag + "_src"], save[tag + "_dst"] = pair
-    for tag, plan in (("pf", lay.plan_fwd), ("pb", lay.plan_bwd)):
-        for f in _PLAN_FIELDS:
-            save[f"{tag}_{f}"] = getattr(plan, f)
-        save[f"{tag}_s_pad"] = plan.s_pad
-        save[f"{tag}_r_pad"] = plan.r_pad
+    for f in _PLAN_FIELDS:
+        save[f"pf_{f}"] = getattr(lay.plan_fwd, f)
+    save["pf_s_pad"] = lay.plan_fwd.s_pad
+    save["pf_r_pad"] = lay.plan_fwd.r_pad
     tmp = path + ".tmp.npz"
     np.savez(tmp, **save)
     import os as _os
@@ -90,28 +97,25 @@ def load_layout(path: str) -> Optional["PartitionLayout"]:
     if not os.path.exists(path + ".npz"):
         return None
     z = np.load(path + ".npz")
+    if int(z.get("version", 1)) != _LAYOUT_VERSION:
+        return None  # stale cache format: rebuild
 
-    def plan(tag):
-        return ExchangePlan(
-            *(z[f"{tag}_{f}"] for f in _PLAN_FIELDS),
-            int(z[f"{tag}_s_pad"]), int(z[f"{tag}_r_pad"]),
-        )
-
-    pf = plan("pf")
+    pf = ExchangePlan(
+        *(z[f"pf_{f}"] for f in _PLAN_FIELDS),
+        int(z["pf_s_pad"]), int(z["pf_r_pad"]),
+    )
     bid = bool(int(z["is_bidirected"]))
-    pb = pf if bid else plan("pb")
     fl = (z["fl_src"], z["fl_dst"])
     fh = (z["fh_src"], z["fh_dst"])
     bl = fl if bid else (z["bl_src"], z["bl_dst"])
-    bh = fh if bid else (z["bh_src"], z["bh_dst"])
+    bh = (z["bh_src"], z["bh_dst"])
     kw = {f: z[f] for f in _LAYOUT_ARRAYS}
     return PartitionLayout(
         k=int(z["k"]), l_max=int(z["l_max"]), num_feats=int(z["num_feats"]),
         num_classes=int(z["num_classes"]), multilabel=bool(int(z["multilabel"])),
-        is_bidirected=bid,
-        f_true=int(z["f_true"]) if "f_true" in z else int(z["num_feats"]),
-        fwd_local=fl, fwd_halo=fh, bwd_local=bl,
-        bwd_halo=bh, plan_fwd=pf, plan_bwd=pb, **kw,
+        is_bidirected=bid, f_true=int(z["f_true"]),
+        fwd_local=fl, fwd_halo=fh, bwd_local=bl, bwd_halo=bh, plan_fwd=pf,
+        **kw,
     )
 
 
@@ -163,18 +167,16 @@ class PartitionLayout:
     train_mask: np.ndarray  # bool [K, Lmax]
     val_mask: np.ndarray
     test_mask: np.ndarray
-    # degrees (global, clamped >= 1) addressed [local | remote] per direction
-    deg_in_fwd: np.ndarray  # f32 [K, Lmax + R_pad_fwd]
+    # degrees (global, clamped >= 1) addressed [local | remote]
+    deg_in_fwd: np.ndarray  # f32 [K, Lmax + R_pad]
     deg_out_fwd: np.ndarray
-    deg_in_bwd: np.ndarray
-    deg_out_bwd: np.ndarray
-    # edges: (src, dst) int32, dst sentinel = Lmax on padding
+    # edges: (src, dst) int32, dst sentinel = out-row count on padding
     fwd_local: Tuple[np.ndarray, np.ndarray]  # [K, E_lc] each
-    fwd_halo: Tuple[np.ndarray, np.ndarray]  # [K, E_hl]
-    bwd_local: Tuple[np.ndarray, np.ndarray]
-    bwd_halo: Tuple[np.ndarray, np.ndarray]
+    fwd_halo: Tuple[np.ndarray, np.ndarray]  # [K, E_hl] (src = Lmax + slot)
+    # TRANSPOSED forward lists, dst-sorted (backward aggregation; module doc)
+    bwd_local: Tuple[np.ndarray, np.ndarray]  # is fwd_local when bidirected
+    bwd_halo: Tuple[np.ndarray, np.ndarray]  # src = local row, dst = slot
     plan_fwd: ExchangePlan
-    plan_bwd: ExchangePlan  # is plan_fwd when bidirected
 
 
 def _build_plan(
@@ -322,6 +324,29 @@ def _build_edges(
     return _stack(local_lists), _stack(halo_lists)
 
 
+def _transpose_stacked(
+    pair: Tuple[np.ndarray, np.ndarray],
+    dst_lim: int,
+    new_dst_sentinel: int,
+    shift: int = 0,
+):
+    """Transpose stacked edge lists: each valid edge (s, d) (d < dst_lim)
+    becomes (d, s - shift), dst-sorted, padded back to the same width with
+    (src=0, dst=sentinel) drop rows. Grad flow v -> u along u -> v."""
+    s_arr, d_arr = pair
+    k, e = s_arr.shape
+    ns = np.zeros((k, e), np.int32)
+    nd = np.full((k, e), new_dst_sentinel, np.int32)
+    for p in range(k):
+        valid = d_arr[p] < dst_lim
+        news = d_arr[p][valid].astype(np.int32)
+        newd = (s_arr[p][valid] - shift).astype(np.int32)
+        order = np.argsort(newd, kind="stable")
+        ns[p, : len(news)] = news[order]
+        nd[p, : len(newd)] = newd[order]
+    return ns, nd
+
+
 def build_layout(
     graph: GraphData,
     part_id: np.ndarray,
@@ -368,17 +393,11 @@ def build_layout(
 
     l_max = _round_up(int(num_local.max()), pad_multiple)
 
-    # ---- exchange plans ----
+    # ---- exchange plan (forward; backward routing is its transpose) ----
     plan_fwd, halo_fwd = _build_plan(
         graph, part_id, k, local_slot, cross_src, cross_dst, model_type, pad_multiple
     )
     is_bid = graph.is_bidirected
-    if is_bid:
-        plan_bwd, halo_bwd = plan_fwd, halo_fwd
-    else:
-        plan_bwd, halo_bwd = _build_plan(
-            graph, part_id, k, local_slot, cross_dst, cross_src, model_type, pad_multiple
-        )
 
     def _slot_maps(halo_lists) -> Dict[int, Dict[int, int]]:
         out = {}
@@ -395,18 +414,19 @@ def build_layout(
         return out
 
     slots_fwd = _slot_maps(halo_fwd)
-    slots_bwd = slots_fwd if is_bid else _slot_maps(halo_bwd)
 
-    # ---- edge lists ----
+    # ---- edge lists + their transposes (backward aggregation) ----
     fwd_local, fwd_halo = _build_edges(
         graph.src, graph.dst, part_id, k, local_slot, slots_fwd, l_max, edge_pad_multiple
     )
-    if is_bid:
-        bwd_local, bwd_halo = fwd_local, fwd_halo
-    else:
-        bwd_local, bwd_halo = _build_edges(
-            graph.dst, graph.src, part_id, k, local_slot, slots_bwd, l_max, edge_pad_multiple
-        )
+    # bidirected: the reversed local edge multiset equals the forward one,
+    # so the dst-sorted transpose is the identical array (zero extra cache)
+    bwd_local = (
+        fwd_local if is_bid else _transpose_stacked(fwd_local, l_max, l_max)
+    )
+    bwd_halo = _transpose_stacked(
+        fwd_halo, l_max, plan_fwd.r_pad, shift=l_max
+    )
 
     # ---- per-part node data ----
     f = _round_up(graph.num_feats, feat_pad_multiple)
@@ -446,10 +466,6 @@ def build_layout(
         return di, do
 
     deg_in_fwd, deg_out_fwd = _degrees(plan_fwd)
-    if is_bid:
-        deg_in_bwd, deg_out_bwd = deg_in_fwd, deg_out_fwd
-    else:
-        deg_in_bwd, deg_out_bwd = _degrees(plan_bwd)
 
     return PartitionLayout(
         k=k,
@@ -471,12 +487,9 @@ def build_layout(
         test_mask=test_mask,
         deg_in_fwd=deg_in_fwd,
         deg_out_fwd=deg_out_fwd,
-        deg_in_bwd=deg_in_bwd,
-        deg_out_bwd=deg_out_bwd,
         fwd_local=fwd_local,
         fwd_halo=fwd_halo,
         bwd_local=bwd_local,
         bwd_halo=bwd_halo,
         plan_fwd=plan_fwd,
-        plan_bwd=plan_bwd,
     )

@@ -28,6 +28,7 @@ Aggregation math (reference ``ops.py:17-67``, global degrees clamped >= 1):
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -43,6 +44,37 @@ def _seg(src, dst, h, num_out, chunk):
     if chunk is None:
         return segment_spmm(src, dst, None, h, num_out)
     return spmm_csr(src, dst, None, h, num_out, chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def pair_seg_spmm(l_max: int, r_pad: int, chunk, hl, hr, edges):
+    """Local + halo segment-sum aggregation with a gather-form backward.
+
+    ``edges = (fl_src, fl_dst, fh_src, fh_dst, bl_src, bl_dst, bh_src,
+    bh_dst)``: forward lists and their prebuilt dst-sorted transposes
+    (``graph/layout.py``). AD's transpose of the forward would be an
+    UNSORTED scatter-add (~70 GB/s on TPU vs ~105-125 GB/s gathers,
+    docs/DESIGN.md); the custom backward instead runs the same sorted
+    gather+segment-sum on the transposed lists — the TPU-native analog of
+    the reference aggregating gradients on its prebuilt ``bwd_graph``
+    (``AdaQP/model/ops.py:83-95``).
+    """
+    fl_s, fl_d, fh_s, fh_d = edges[:4]
+    return _seg(fl_s, fl_d, hl, l_max, chunk) + _seg(fh_s, fh_d, hr, l_max, chunk)
+
+
+def _pair_seg_fwd(l_max, r_pad, chunk, hl, hr, edges):
+    return pair_seg_spmm(l_max, r_pad, chunk, hl, hr, edges), edges
+
+
+def _pair_seg_bwd(l_max, r_pad, chunk, edges, g):
+    bl_s, bl_d, bh_s, bh_d = edges[4:]
+    g_l = _seg(bl_s, bl_d, g, l_max, chunk)
+    g_r = _seg(bh_s, bh_d, g, r_pad, chunk)
+    return g_l, g_r, None
+
+
+pair_seg_spmm.defvjp(_pair_seg_fwd, _pair_seg_bwd)
 
 
 def dist_aggregate(
@@ -120,9 +152,13 @@ def dist_aggregate(
             return (a + b).astype(jnp.float32)
 
     else:
+        edges = (
+            sh.fl_src, sh.fl_dst, sh.fh_src, sh.fh_dst,
+            sh.bl_src, sh.bl_dst, sh.bh_src, sh.bh_dst,
+        )
+
         def pair(hl, hr):
-            a = _seg(sh.fl_src, sh.fl_dst, hl, l, cfg.edge_chunk)
-            return a + _seg(sh.fh_src, sh.fh_dst, hr, l, cfg.edge_chunk)
+            return pair_seg_spmm(l, cfg.r_pad, cfg.edge_chunk, hl, hr, edges)
 
     if cfg.model is GNNType.GCN:
         hs_local = h * jax.lax.rsqrt(sh.deg_out[:l])[:, None]

@@ -41,7 +41,7 @@ def main():
 
     synth = {
         "n": args.n,
-        "avg_deg": args.avg_deg,
+        "avg_degree": args.avg_deg,
         "num_feats": args.feats,
         "seed": 3,
     }

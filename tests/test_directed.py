@@ -50,7 +50,8 @@ def test_directed_forward_backward_matches_oracle(rng):
     g = _directed_graph(rng)
     part = partition_graph(g, K, method="random")
     lay = build_layout(g, part, GNNType.GCN)
-    assert lay.plan_bwd is not lay.plan_fwd  # separate plans for directed
+    # directed: transposed local edges differ from the forward lists
+    assert lay.bwd_local[0] is not lay.fwd_local[0]
     sh = shard_arrays_from_layout(lay)
     cfg = static_from_layout(
         lay, model=GNNType.GCN, mode=Mode.VANILLA, num_layers=2, hidden=12,

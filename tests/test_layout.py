@@ -92,3 +92,30 @@ def test_partition_balance(graph):
         part = partition_graph(graph, 4, method=method)
         sizes = np.bincount(part, minlength=4)
         assert sizes.max() <= 1.3 * graph.num_nodes / 4
+
+
+def test_transposed_edge_lists(graph):
+    # bwd_local / bwd_halo are the exact transpose of the forward lists
+    # (grad flow v -> u along every forward edge u -> v), dst-sorted
+    lay = build_layout(graph, partition_graph(graph, 4, "ldg"), GNNType.GCN)
+    l_max = lay.l_max
+    r_pad = lay.plan_fwd.r_pad
+    for p in range(4):
+        fs, fd = lay.fwd_local[0][p], lay.fwd_local[1][p]
+        bs, bd = lay.bwd_local[0][p], lay.bwd_local[1][p]
+        fv, bv = fd < l_max, bd < l_max
+        fwd_set = set(zip(fs[fv].tolist(), fd[fv].tolist()))
+        bwd_set = set(zip(bd[bv].tolist(), bs[bv].tolist()))
+        assert fwd_set == bwd_set
+        assert (np.diff(bd[bv]) >= 0).all()  # dst-sorted
+
+        hs, hd = lay.fwd_halo[0][p], lay.fwd_halo[1][p]
+        ts, td = lay.bwd_halo[0][p], lay.bwd_halo[1][p]
+        hv, tv = hd < l_max, td < r_pad
+        halo_set = set(zip((hs[hv] - l_max).tolist(), hd[hv].tolist()))
+        t_set = set(zip(td[tv].tolist(), ts[tv].tolist()))
+        assert halo_set == t_set
+        assert (np.diff(td[tv]) >= 0).all()
+    # bidirected graphs alias the local transpose (no extra cache freight)
+    if graph.is_bidirected:
+        assert lay.bwd_local[0] is lay.fwd_local[0]

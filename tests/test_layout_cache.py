@@ -23,6 +23,7 @@ def test_layout_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(lay2.fwd_local[0], lay.fwd_local[0])
     np.testing.assert_array_equal(lay2.fwd_halo[1], lay.fwd_halo[1])
     np.testing.assert_allclose(lay2.plan_fwd.scores_fp, lay.plan_fwd.scores_fp)
-    # bidirected aliasing preserved
-    assert lay2.plan_bwd is lay2.plan_fwd
+    # bidirected aliasing preserved (transpose == forward list)
+    assert lay2.bwd_local[0] is lay2.fwd_local[0]
+    np.testing.assert_array_equal(lay2.bwd_halo[0], lay.bwd_halo[0])
     assert load_layout(str(tmp_path / "missing")) is None
