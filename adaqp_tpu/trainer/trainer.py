@@ -39,9 +39,12 @@ from ..common.types import AggregatorType, GNNType, Mode, Scheme
 from ..graph import build_layout, partition_graph
 from ..graph.device import (
     make_mesh,
+    put_global,
+    put_replicated,
     put_sharded,
     shard_arrays_from_layout,
     static_from_layout,
+    to_host,
 )
 from ..helper.dataset import GraphData, load_dataset
 from ..model import apply_gnn, init_params
@@ -107,7 +110,7 @@ class Trainer:
 
             spec = jax.sharding.NamedSharding(self.mesh, P("part"))
             self.blocks = jax.tree.map(
-                lambda x: jax.device_put(x, spec), build_block_shards(self.layout)
+                lambda x: put_global(x, spec), build_block_shards(self.layout)
             )
         self.static = static_from_layout(
             self.layout,
@@ -140,6 +143,12 @@ class Trainer:
         self.val_count = float(self.graph.val_mask.sum())
         self.test_count = float(self.graph.test_mask.sum())
 
+        if cfg.spmm_impl == "block" and cfg.hidden_dim % 128:
+            logger.warning(
+                "hidden_dim=%d is not a 128-lane multiple: on TPU the "
+                "bitmask-MXU kernel falls back to the slow portable tile "
+                "loop for hidden-layer aggregations", cfg.hidden_dim,
+            )
         if self.mode.quantized and cfg.hidden_dim % 4:
             raise ValueError(
                 f"hidden_dim={cfg.hidden_dim} must be a multiple of 4: hidden "
@@ -153,6 +162,13 @@ class Trainer:
             optax.adam(cfg.learning_rate),
         )
         self.opt_state = self.tx.init(self.params)
+        # commit params/optimizer to their final (replicated) sharding UP
+        # FRONT: the train step's outputs are committed, so uncommitted
+        # inputs would change the jit cache key after the first epoch and
+        # force one full recompile (35 s at bench scale). Multi-controller
+        # additionally REQUIRES global arrays here.
+        self.params = put_replicated(self.params, self.mesh)
+        self.opt_state = put_replicated(self.opt_state, self.mesh)
 
         # ---- assigner ----
         self.assignment = None
@@ -207,22 +223,22 @@ class Trainer:
                 logger.info("loaded partition cache %s", cache)
                 return part
         part = partition_graph(self.graph, cfg.num_parts, cfg.partition_method, cfg.seed)
-        os.makedirs(cfg.partition_dir, exist_ok=True)
-        np.save(cache, part)
+        if jax.process_index() == 0:  # builds are deterministic on every host
+            os.makedirs(cfg.partition_dir, exist_ok=True)
+            np.save(cache, part)
         return part
 
     def _reset_traces(self):
         plan = self.layout.plan_fwd
         shape_f = (self.k, self.cfg.num_layers, self.k, plan.s_pad)
         shape_b = (self.k, self.cfg.num_layers, plan.r_pad)
-        self.trace_fwd = jnp.zeros(shape_f)
-        self.trace_bwd = jnp.zeros(shape_b)
+        spec = jax.sharding.NamedSharding(self.mesh, P("part"))
+        self.trace_fwd = put_global(np.zeros(shape_f, np.float32), spec)
+        self.trace_bwd = put_global(np.zeros(shape_b, np.float32), spec)
 
     def _put_wire(self, plans):
         spec = jax.sharding.NamedSharding(self.mesh, P("part"))
-        return jax.tree.map(
-            lambda a: jax.device_put(jnp.asarray(a), spec), plans
-        )
+        return jax.tree.map(lambda a: put_global(np.asarray(a), spec), plans)
 
     def _lower_buckets(self):
         """Assignment -> device wire layouts (train-buffer regeneration,
@@ -247,7 +263,7 @@ class Trainer:
         spec = jax.sharding.NamedSharding(self.mesh, P("part"))
         self.buckets_dev = tuple(
             tuple(
-                tuple(jax.device_put(jnp.asarray(a), spec) for a in quad)
+                tuple(put_global(np.asarray(a), spec) for a in quad)
                 for quad in arrays
             )
             for _, arrays in lowered
@@ -390,8 +406,8 @@ class Trainer:
             )
         else:
             # trace_fwd is [K(shard), L, K, S]: shard s's row is its own sends
-            tf = np.transpose(np.asarray(self.trace_fwd), (1, 0, 2, 3))  # [L, K, K, S]
-            tb = np.transpose(np.asarray(self.trace_bwd), (1, 0, 2))  # [L, K, R]
+            tf = np.transpose(to_host(self.trace_fwd), (1, 0, 2, 3))  # [L, K, K, S]
+            tb = np.transpose(to_host(self.trace_bwd), (1, 0, 2))  # [L, K, R]
             self.assignment = self.assigner.assign(
                 tf, tb, layer_dims=self.layer_dims
             )
@@ -490,8 +506,8 @@ class Trainer:
         return {
             "params": self.params,
             "opt": self.opt_state,
-            "tf": self.trace_fwd,
-            "tb": self.trace_bwd,
+            "tf": to_host(self.trace_fwd),
+            "tb": to_host(self.trace_bwd),
             "rec": self.recorder.metrics,
             "asg_f": asg_f,
             "asg_b": asg_b,
@@ -564,7 +580,10 @@ class Trainer:
                     train_wire,
                 )
             )
-            jax.block_until_ready(loss)
+            # host readback (not just block_until_ready, which some
+            # transports run lazily) so the epoch bracket measures the real
+            # device step; the scalar D2H is noise on real hardware
+            loss = float(loss)
             self.timer.add_epoch(time.perf_counter() - t0)
             tr, va, te = (
                 float(x)
@@ -574,9 +593,12 @@ class Trainer:
             if epoch % cfg.log_steps == 0:
                 logger.info(
                     "epoch %04d | loss %.4f | %.3fs | train %.4f val %.4f test %.4f",
-                    epoch, float(loss), self.timer.epoch_times[-1], tr, va, te,
+                    epoch, loss, self.timer.epoch_times[-1], tr, va, te,
                 )
-            if cfg.ckpt_every and epoch % cfg.ckpt_every == 0:
+            if (
+                cfg.ckpt_every and epoch % cfg.ckpt_every == 0
+                and jax.process_index() == 0
+            ):
                 save_checkpoint(self._ckpt_path(epoch), epoch, self._ckpt_state())
         total = time.perf_counter() - t_train0
         ep = np.asarray(self.timer.epoch_times)
@@ -601,7 +623,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def save(self, records: Dict[str, Any]):
         """Write reference-compatible artifacts (``trainer.py:203-238``):
-        metrics txt, val-curve array, per-worker time CSV."""
+        metrics txt, val-curve array, per-worker time CSV. Rank 0 writes,
+        like the reference (``trainer.py:203``)."""
+        if jax.process_index() != 0:
+            return
         cfg = self.cfg
         base = os.path.join(
             cfg.exp_path, self.graph.name, f"{self.k}part", cfg.model_name
