@@ -21,7 +21,7 @@ words, no params (used by Vanilla/AdaQP-p so even the fp wire is exact).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -48,6 +48,11 @@ class RunConfig:
     # these buckets, AdaQP/util/timer.py:29-51; the probe costs seconds once)
     measure_breakdown: bool = True
     spmm_impl: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
+    # tile-vs-ELL split for the block impl: in-situ tile ~3.3us vs ELL
+    # gather ~17 ns/edge puts breakeven near 190 edges/tile (EXPERIMENTS.md
+    # r2 sweep: 512 -> 192 cut the Reddit-scale epoch 0.575 -> 0.464 s);
+    # raise it when HBM is tight (bitmask bytes scale with tile count)
+    block_min_edges: int = 192
     # boundary-exchange wire: "ragged" = exact per-pair sizes via
     # ragged_all_to_all (reference-parity byte volume); "padded" = dense
     # all_to_all at worst-channel capacity (legacy round-1 path)

@@ -110,7 +110,8 @@ class Trainer:
 
             spec = jax.sharding.NamedSharding(self.mesh, P("part"))
             self.blocks = jax.tree.map(
-                lambda x: put_global(x, spec), build_block_shards(self.layout)
+                lambda x: put_global(x, spec),
+                build_block_shards(self.layout, min_edges=cfg.block_min_edges),
             )
         self.static = static_from_layout(
             self.layout,

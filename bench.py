@@ -77,15 +77,17 @@ def synth_reddit(n, e, f, c, seed=0):
     return src, dst, feats, labels, train_mask
 
 
-def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype):
-    from adaqp_tpu.ops.quant import pad_features
+def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
+              min_edges=512):
     from adaqp_tpu.ops.spmm_block import block_layout, spmm_block
 
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
-    log("building bitmask block layout (host, one-time)")
+    log(f"building bitmask block layout (host, one-time), min_edges={min_edges}")
     key = os.path.join(CACHE_DIR, f"blk_{n}_{e}")
-    fwd = block_layout(src, dst, n, cache_key=key + "_fwd")
-    bwd = block_layout(dst, src, n, cache_key=key + "_bwd")
+    if min_edges != 512:  # keep round-1 cache names valid for the default
+        key += f"_me{min_edges}"
+    fwd = block_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
+    bwd = block_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
     n_pad = fwd.n_pad
     log(f"tiles fwd={fwd.masks.shape[0]} bwd={bwd.masks.shape[0]} n_pad={n_pad}")
 
@@ -186,7 +188,7 @@ def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype):
     stack (LayerNorm + dropout) the raw loop omits; eval runs separately
     and is not counted in per_epoch (reference measurement protocol,
     ``AdaQP/trainer/trainer.py:195-234``)."""
-    from adaqp_tpu.helper.dataset import GraphData, _split_masks
+    from adaqp_tpu.helper.dataset import GraphData
     from adaqp_tpu.trainer import RunConfig, Trainer
 
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
@@ -225,6 +227,9 @@ def main():
                    help="run the same scale through the full Trainer runtime")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--agg_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    # tile-vs-ELL split threshold: in-situ tile cost ~3.3us and ELL gather
+    # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
+    p.add_argument("--min_edges", type=int, default=192)
     args = p.parse_args()
 
     if args.quick:
@@ -248,6 +253,7 @@ def main():
         val = run_bench(
             n, e, f, c, hidden, layers, args.epochs,
             edge_chunk=1 << 18, agg_dtype=jnp.dtype(args.agg_dtype),
+            min_edges=args.min_edges,
         )
         metric = "reddit_full_epoch_s" if not args.quick else "quick_epoch_s"
     vs = BASELINE_EPOCH_S / val if not args.quick else 0.0

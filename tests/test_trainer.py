@@ -76,6 +76,17 @@ def test_sage_multilabel(tmp_path):
     assert va > 0.6, f"multilabel micro-F1 {va}"
 
 
+def test_padded_wire_fallback(tmp_path):
+    # the legacy dense bucketed all_to_all stays available behind
+    # wire_impl="padded" and must still learn the task
+    t, rec = _run(
+        tmp_path, mode="AdaQP", assign_scheme="adaptive", wire_impl="padded",
+        num_epochs=14, assign_cycle=6,
+    )
+    assert t.buckets_dev is not None and t.wire_dev is None
+    assert rec["best"][2] > 0.9
+
+
 def test_breakdown_buckets_recorded(tmp_path):
     # measure_breakdown defaults ON and must yield nonzero Comm/Quant/
     # Central/Marginal buckets in the reference-format CSV for a quantized
