@@ -119,8 +119,16 @@ def block_layout(
 ) -> BlockLayout:
     """Build the tile layout for edges src -> dst; ``n`` destination rows,
     ``n_src`` source rows (defaults to ``n`` — the square case)."""
+    from .spmm_fast import ELL_SCHEME
+
     if cache_key and os.path.exists(cache_key + ".npz"):
         z = np.load(cache_key + ".npz")
+        stale = int(z["has_straggler"]) and int(z.get("ell_scheme", 1)) != ELL_SCHEME
+        if stale:
+            z = None
+    else:
+        z = None
+    if z is not None:
         straggler = None
         if int(z["has_straggler"]):
             nbk = int(z["ell_num_buckets"])
@@ -212,7 +220,7 @@ def block_layout(
         save = dict(
             n=n, n_pad=n_pad, n_src_pad=n_src_pad, masks=masks,
             src_start=src_start, dst_blk=dst_blk, is_first=is_first,
-            has_straggler=int(straggler is not None),
+            has_straggler=int(straggler is not None), ell_scheme=ELL_SCHEME,
         )
         if straggler is not None:
             save["ell_num_buckets"] = len(straggler.buckets)

@@ -34,9 +34,21 @@ import numpy as np
 WMAX = 512
 ROW_CHUNK = 2048  # bucket rows processed per scan step (bounds VMEM/HBM use)
 
+# Bucket widths with ~1.5x steps: each gathered lane costs the same whether
+# masked or real (~17-20 ns/row descriptor-bound), so the mean masked-lane
+# waste matters — pow2 buckets waste ~33% (mean fill 0.75), these ~17%
+# (mean fill ~0.85). Scan-program count grows from 10 to 17; dispatch
+# overhead is noise next to the gathers.
+_WIDTHS = np.array(
+    [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512],
+    np.int64,
+)
+ELL_SCHEME = 2  # cache-format version (bump when _WIDTHS changes)
 
-def _pow2ceil(x: np.ndarray) -> np.ndarray:
-    return 2 ** np.ceil(np.log2(np.maximum(x, 1))).astype(np.int64)
+
+def _width_bucket(x: np.ndarray) -> np.ndarray:
+    """Smallest bucket width >= x."""
+    return _WIDTHS[np.searchsorted(_WIDTHS, np.maximum(x, 1))]
 
 
 @dataclass
@@ -99,7 +111,10 @@ def ell_from_csr(
     """
     if cache_key and os.path.exists(cache_key + ".npz"):
         z = np.load(cache_key + ".npz")
-        if int(z.get("row_chunk", ROW_CHUNK)) == row_chunk:
+        if (
+            int(z.get("row_chunk", ROW_CHUNK)) == row_chunk
+            and int(z.get("ell_scheme", 1)) == ELL_SCHEME
+        ):
             nb = int(z["num_buckets"])
             buckets = [
                 (int(z[f"w{i}"]), z[f"rows{i}"], z[f"idx{i}"], z[f"lens{i}"])
@@ -124,7 +139,7 @@ def ell_from_csr(
     seg_start = indptr[seg_node] + within * wmax
     seg_len = np.minimum(wmax, deg[seg_node] - within * wmax).astype(np.int64)
     assert (seg_len > 0).all()
-    width = _pow2ceil(seg_len)
+    width = _width_bucket(seg_len)
 
     buckets = []
     e_total = len(src_s)
@@ -148,7 +163,10 @@ def ell_from_csr(
     lay = EllLayout(n, buckets, row_chunk)
     if cache_key:
         os.makedirs(os.path.dirname(cache_key) or ".", exist_ok=True)
-        save = {"num_buckets": len(buckets), "row_chunk": row_chunk}
+        save = {
+            "num_buckets": len(buckets), "row_chunk": row_chunk,
+            "ell_scheme": ELL_SCHEME,
+        }
         for i, (w, rows, idx, lens) in enumerate(buckets):
             save[f"w{i}"] = w
             save[f"rows{i}"] = rows
