@@ -359,7 +359,8 @@ def run_block(layout: BlockDevice, h: jnp.ndarray, use_pallas: bool = True) -> j
     else:
         out = _run_block_jnp(layout, h)
     if layout.straggler is not None:
-        out = out + _run_ell(layout.straggler, h.astype(jnp.float32))
+        # gather in h's dtype (bf16 halves HBM traffic), accumulate in f32
+        out = out + _run_ell(layout.straggler, h, acc_dtype=jnp.float32)
     return out
 
 

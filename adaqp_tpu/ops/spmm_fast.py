@@ -176,11 +176,17 @@ def ell_from_csr(
     return lay
 
 
-def _run_ell(ell: EllDevice, h: jnp.ndarray) -> jnp.ndarray:
-    """out[v] = sum over ELL lanes of h[idx] (masked) — gather-only SpMM."""
+def _run_ell(ell: EllDevice, h: jnp.ndarray, acc_dtype=None) -> jnp.ndarray:
+    """out[v] = sum over ELL lanes of h[idx] (masked) — gather-only SpMM.
+
+    ``acc_dtype`` sets the accumulation/output dtype (default: ``h.dtype``);
+    rows are always gathered in ``h.dtype`` — passing bf16 ``h`` with f32
+    accumulation halves the gather's HBM traffic without changing the math
+    (the gathered values carry bf16 precision either way)."""
     f = h.shape[1]
+    acc_dtype = h.dtype if acc_dtype is None else acc_dtype
     row_chunk = ell.row_chunk
-    out = jnp.zeros((ell.n, f), h.dtype)
+    out = jnp.zeros((ell.n, f), acc_dtype)
     for w, rows, idx, lens in ell.buckets:
         nb = idx.shape[0]
         nc = nb // row_chunk
@@ -189,18 +195,23 @@ def _run_ell(ell: EllDevice, h: jnp.ndarray) -> jnp.ndarray:
 
         def body(_, operand, w=w):
             ic, lc = operand
-            acc = h[ic[:, 0]]  # lane 0 always valid (segments are non-empty)
+            # lane 0 always valid (segments are non-empty)
+            acc = h[ic[:, 0]].astype(acc_dtype)
             if w <= 16:  # unroll small widths
                 lane_valid = (
                     jax.lax.broadcasted_iota(jnp.int32, (row_chunk, w), 1)
                     < lc[:, None]
                 )
                 for j in range(1, w):
-                    acc = acc + jnp.where(lane_valid[:, j : j + 1], h[ic[:, j]], 0)
+                    acc = acc + jnp.where(
+                        lane_valid[:, j : j + 1], h[ic[:, j]], 0
+                    ).astype(acc_dtype)
             else:  # rolled loop keeps the program small for wide buckets
                 def lane(j, acc):
                     col = jax.lax.dynamic_slice_in_dim(ic, j, 1, axis=1)[:, 0]
-                    return acc + jnp.where((j < lc)[:, None], h[col], 0)
+                    return acc + jnp.where((j < lc)[:, None], h[col], 0).astype(
+                        acc_dtype
+                    )
 
                 acc = jax.lax.fori_loop(1, w, lane, acc)
             return None, acc

@@ -1,0 +1,128 @@
+"""ogbn-products-scale single-chip measurement (EXPERIMENTS.md).
+
+Synthetic UNDIRECTED graph at the real dataset's scale (reference loads it
+via OGB, `/root/reference/AdaQP/helper/partition.py:10-30`; this environment
+has no egress): 2.449M nodes, ~123.7M directed edges after symmetrization +
+self-loops, 100 features, 47 classes. 3-layer GCN, bf16 aggregation,
+fwd/bwd share one symmetric-graph block layout.
+
+    python scripts/bench_products.py --hidden 256
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaqp_tpu.model.loss import masked_loss_sum
+from adaqp_tpu.ops.spmm_block import block_layout, spmm_block
+
+N, E_TARGET, F, C = 2_449_029, 123_718_280, 100, 47
+CACHE = "data/bench_cache"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--min_edges", type=int, default=192)
+    args = p.parse_args()
+
+    key = f"{CACHE}/prod_{N}"
+    if os.path.exists(key + "_edges.npz"):
+        z = np.load(key + "_edges.npz")
+        src, dst = z["src"], z["dst"]
+    else:
+        rng = np.random.default_rng(0)
+        half = (E_TARGET - N) // 2
+        s0 = rng.integers(0, N, half, dtype=np.int64)
+        delta = np.minimum(rng.zipf(1.3, half), N // 2)
+        d0 = (s0 + (rng.integers(0, 2, half) * 2 - 1) * delta) % N
+        src = np.concatenate([s0, d0, np.arange(N, dtype=np.int64)]).astype(np.int32)
+        dst = np.concatenate([d0, s0, np.arange(N, dtype=np.int64)]).astype(np.int32)
+        os.makedirs(CACHE, exist_ok=True)
+        np.savez(key + "_edges.npz", src=src, dst=dst)
+    print(f"edges: {len(src) / 1e6:.1f}M", flush=True)
+
+    t0 = time.perf_counter()
+    # symmetric graph: one layout serves forward and backward
+    lay = block_layout(
+        src, dst, N, min_edges=args.min_edges,
+        cache_key=f"{key}_blk_me{args.min_edges}",
+    )
+    print(
+        f"layout {time.perf_counter() - t0:.0f}s tiles={lay.masks.shape[0]}",
+        flush=True,
+    )
+    dev = lay.to_device()
+    n_pad = lay.n_pad
+    f_pad = 128
+
+    rng = np.random.default_rng(1)
+    feats = np.zeros((n_pad, f_pad), np.float32)
+    feats[:N, :F] = rng.normal(size=(N, F)).astype(np.float32)
+    deg = np.maximum(np.bincount(dst, minlength=n_pad), 1).astype(np.float32)
+    data = dict(
+        feats=jnp.asarray(feats),
+        labels=jnp.asarray(rng.integers(0, C, n_pad).astype(np.int32)),
+        mask=jnp.asarray(np.concatenate([np.ones(N, bool), np.zeros(n_pad - N, bool)])),
+        rs=jnp.asarray(deg ** -0.5),
+    )
+
+    params = []
+    kk = jax.random.PRNGKey(0)
+    dims = [(f_pad, args.hidden)]
+    dims += [(args.hidden, args.hidden)] * (args.layers - 2)
+    dims += [(args.hidden, C)]
+    for a, b in dims:
+        kk, k1 = jax.random.split(kk)
+        lim = float(np.sqrt(6 / (a + b)))
+        params.append(
+            {"w": jax.random.uniform(k1, (a, b), jnp.float32, -lim, lim),
+             "b": jnp.zeros(b)}
+        )
+    tx = optax.adam(0.01)
+    opt = tx.init(params)
+
+    def loss_fn(params, data, dd):
+        h = data["feats"]
+        for i, l in enumerate(params):
+            hs = (h * data["rs"][:, None]).astype(jnp.bfloat16)
+            agg = spmm_block(dd, hs, dd, True) * data["rs"][:, None]
+            h = agg.astype(jnp.bfloat16) @ l["w"].astype(jnp.bfloat16) + l[
+                "b"
+            ].astype(jnp.bfloat16)
+            if i < args.layers - 1:
+                h = jax.nn.relu(h)
+        return masked_loss_sum(h.astype(jnp.float32), data["labels"], data["mask"], False) / N
+
+    @jax.jit
+    def step(params, opt, data, dd):
+        loss, g = jax.value_and_grad(loss_fn)(params, data, dd)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, loss
+
+    t0 = time.perf_counter()
+    params, opt, loss = step(params, opt, data, dev)
+    _ = float(loss)
+    print(f"compile+first: {time.perf_counter() - t0:.0f}s", flush=True)
+    ts = []
+    for i in range(args.epochs):
+        t0 = time.perf_counter()
+        params, opt, loss = step(params, opt, data, dev)
+        _ = float(loss)
+        ts.append(time.perf_counter() - t0)
+        print(f"epoch {i}: {ts[-1]:.2f}s loss {float(loss):.4f}", flush=True)
+    print("PRODUCTS_EPOCH_S", float(np.median(ts)))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,22 @@ def test_heavy_rows_split_and_isolated_nodes(rng):
     assert np.abs(got[99]).max() == 0  # isolated node stays zero
 
 
+def test_bf16_gather_f32_accumulate(rng):
+    # acc_dtype=f32 with bf16 h must equal gathering an f32-upcast of h:
+    # the gathered values carry bf16 precision either way, only the HBM
+    # traffic differs (spmm_block.py routes its straggler path this way).
+    n, e, f = 300, 4000, 16
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    h = rng.normal(size=(n, f)).astype(np.float32)
+    h_bf = jnp.asarray(h).astype(jnp.bfloat16)
+    ell = ell_from_csr(src, dst, n, row_chunk=64).to_device()
+    got = _run_ell(ell, h_bf, acc_dtype=jnp.float32)
+    assert got.dtype == jnp.float32
+    want = _run_ell(ell, h_bf.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_cache_roundtrip(tmp_path, rng):
     n, e = 64, 500
     src = rng.integers(0, n, e).astype(np.int32)
