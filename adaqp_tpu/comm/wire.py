@@ -113,6 +113,18 @@ def _build_dir(
     nb = len(bits_set)
     wpr = [words_per_row(f_true, b) for b in bits_set]
     fw = [wire_cols(f_true, b) for b in bits_set]
+    # Buffer offsets are ALIGNED so every bucket segment starts at a
+    # multiple of its words-per-row: pack/unpack can then address the
+    # buffers as [rows, wpr] with ONE scatter/gather descriptor per lane
+    # instead of one per word (measured 205 ms -> 6 ms per direction at
+    # Reddit-scale boundary sizes; EXPERIMENTS.md). Slice starts are
+    # aligned to lcm(wpr) — the gap words between slices are NOT shipped;
+    # intra-slice inter-segment gaps (< wpr words each) are.
+    align = int(np.lcm.reduce(np.asarray(wpr, np.int64))) if wpr else 1
+
+    def _align(x: int, m: int) -> int:
+        return -(-x // m) * m
+
     # ---- per (ws, wr, b): lane partitions ----
     lanes = {}
     for (ws, wr), (bl, gi, si) in channels.items():
@@ -120,16 +132,24 @@ def _build_dir(
             sel = np.where(bl == b)[0]
             lanes[(ws, wr, bi)] = (gi[sel], si[sel])
 
-    def pair_words(ws, wr):
-        n_lanes = 0
+    def pair_layout(ws, wr):
+        """Relative in-slice layout: (per-bucket segment start, params
+        start, slice words). Identical on sender and receiver — both bases
+        are lcm-aligned, so absolute segment starts stay wpr-aligned."""
         w = 0
+        seg = []
+        n_lanes = 0
         for bi in range(nb):
             c = len(lanes.get((ws, wr, bi), ((), ()))[0])
+            if c:
+                w = _align(w, wpr[bi])
+            seg.append(w)
             w += c * wpr[bi]
             n_lanes += c
+        params_rel = w
         if has_params:
             w += n_lanes
-        return w
+        return seg, params_rel, w
 
     # ---- a2a offset/size tables ----
     in_off = np.zeros((k, k), np.int32)
@@ -139,21 +159,19 @@ def _build_dir(
         for wr in range(k):
             in_off[ws, wr] = o
             if wr != ws:
-                send_sz[ws, wr] = pair_words(ws, wr)
-            o += send_sz[ws, wr]
+                send_sz[ws, wr] = pair_layout(ws, wr)[2]
+            o += _align(int(send_sz[ws, wr]), align)
     recv_sz = send_sz.T.copy()  # recv_sz[wr, ws]
     roff = np.zeros((k, k), np.int32)  # recvbuf offset of ws's slice at wr
     for wr in range(k):
         o = 0
         for ws in range(k):
             roff[wr, ws] = o
-            o += recv_sz[wr, ws]
+            o += _align(int(recv_sz[wr, ws]), align)
     out_off = roff.T.copy()  # out_off[ws, wr]
 
-    sb_cap = int(send_sz.sum(axis=1).max()) if k > 1 else 0
-    rb_cap = int(recv_sz.sum(axis=1).max()) if k > 1 else 0
-    sb_cap = max(sb_cap, 1)
-    rb_cap = max(rb_cap, 1)
+    sb_cap = _align(max(int((in_off + send_sz).max()) if k > 1 else 0, 1), align)
+    rb_cap = _align(max(int((roff + recv_sz).max()) if k > 1 else 0, 1), align)
     slice_cap = max(int(send_sz.max()), 1)
 
     # ---- per-bucket lane tables ----
@@ -200,32 +218,27 @@ def _build_dir(
             if wr == ws:
                 continue
             base = int(in_off[ws, wr])
-            w = base
+            seg, params_rel, size = pair_layout(ws, wr)
+            assert size == send_sz[ws, wr]
             lane_cursor = 0  # lane position within the pair slice
-            pair_lane_count = sum(
-                len(lanes.get((ws, wr, bi), ((), ()))[0]) for bi in range(nb)
-            )
-            params_base = base + sum(
-                len(lanes.get((ws, wr, bi), ((), ()))[0]) * wpr[bi]
-                for bi in range(nb)
-            )
             for bi in range(nb):
                 gi, _ = lanes.get((ws, wr, bi), (np.zeros(0, np.int64),) * 2)
                 c = len(gi)
                 if c == 0:
                     continue
+                assert (base + seg[bi]) % wpr[bi] == 0
                 sl = slice(fill_q[bi], fill_q[bi] + c)
                 q_rows[bi][ws, sl] = gi
-                q_off[bi][ws, sl] = w + np.arange(c, dtype=np.int32) * wpr[bi]
+                q_off[bi][ws, sl] = (
+                    base + seg[bi] + np.arange(c, dtype=np.int32) * wpr[bi]
+                )
                 if has_params:
                     q_poff[bi][ws, sl] = (
-                        params_base + lane_cursor + np.arange(c, dtype=np.int32)
+                        base + params_rel + lane_cursor
+                        + np.arange(c, dtype=np.int32)
                     )
                 fill_q[bi] += c
                 lane_cursor += c
-                w += c * wpr[bi]
-            assert w == params_base
-            assert params_base + (pair_lane_count if has_params else 0) == base + send_sz[ws, wr]
 
     for wr in range(k):
         fill_d = [0] * nb
@@ -233,27 +246,26 @@ def _build_dir(
             if ws == wr:
                 continue
             base = int(roff[wr, ws])
-            w = base
+            seg, params_rel, _size = pair_layout(ws, wr)
             lane_cursor = 0
-            params_base = base + sum(
-                len(lanes.get((ws, wr, bi), ((), ()))[0]) * wpr[bi]
-                for bi in range(nb)
-            )
             for bi in range(nb):
                 _, si = lanes.get((ws, wr, bi), (np.zeros(0, np.int64),) * 2)
                 c = len(si)
                 if c == 0:
                     continue
+                assert (base + seg[bi]) % wpr[bi] == 0
                 sl = slice(fill_d[bi], fill_d[bi] + c)
                 d_rows[bi][wr, sl] = si
-                d_off[bi][wr, sl] = w + np.arange(c, dtype=np.int32) * wpr[bi]
+                d_off[bi][wr, sl] = (
+                    base + seg[bi] + np.arange(c, dtype=np.int32) * wpr[bi]
+                )
                 if has_params:
                     d_poff[bi][wr, sl] = (
-                        params_base + lane_cursor + np.arange(c, dtype=np.int32)
+                        base + params_rel + lane_cursor
+                        + np.arange(c, dtype=np.int32)
                     )
                 fill_d[bi] += c
                 lane_cursor += c
-                w += c * wpr[bi]
 
     return WireDir(
         q_rows=tuple(q_rows),

@@ -121,6 +121,7 @@ def main():
     if not args.no_quant:
         import jax
         import jax.numpy as jnp
+        from adaqp_tpu.comm.wire import words_per_row
         from adaqp_tpu.ops.quant_pallas import (dequantize_rows_tpu,
                                                 quantize_rows_tpu)
         print(f"\nquant cost on {jax.devices()[0].device_kind}:")
@@ -128,10 +129,9 @@ def main():
         s_rows = int(plan.counts.sum(axis=1).max())
         s_pad = -(-s_rows // 1024) * 1024
         reps = 20
+        rng = np.random.default_rng(1)
         for f_pad, f_true, n_ex in ((640, F, 1), (256, HIDDEN, 2 * LAYERS - 3)):
-            x0 = jnp.asarray(
-                np.random.default_rng(1).normal(size=(s_pad, f_pad)).astype(np.float32)
-            )
+            x0 = jnp.asarray(rng.normal(size=(s_pad, f_pad)).astype(np.float32))
 
             @jax.jit
             def loop(x, f_true=f_true):
@@ -147,11 +147,42 @@ def main():
             out = loop(x0)
             _ = float(out.reshape(-1)[0])
             dt = (time.perf_counter() - t0) / reps
-            print(f"  [{s_pad} x {f_pad}] quant+dequant: {dt * 1e3:.2f} ms "
-                  f"(x{n_ex} exchanges, "
-                  f"{s_pad * f_pad * 10 / dt / 1e9:.0f} GB/s rw)")
-            quant_s += dt * n_ex
-        print(f"  total quant+dequant per step: {quant_s * 1e3:.1f} ms")
+
+            # wire pack/unpack: ROW-granular scatter into / gather out of the
+            # flat word buffer (the aligned layout's runtime form,
+            # comm/exchange_ragged.py) at this exchange's true lane shape
+            wpr = words_per_row(f_true, 8)
+            words = jnp.asarray(
+                rng.integers(0, 2**31, (s_pad, wpr), dtype=np.int64).astype(np.uint32)
+            )
+            off = np.arange(s_pad, dtype=np.int32)
+            np.random.default_rng(2).shuffle(off)
+            off = jnp.asarray(off)
+
+            @jax.jit
+            def pack_loop(words, off):
+                def body(i, carry):
+                    buf = (
+                        jnp.zeros((s_pad, wpr), jnp.uint32)
+                        .at[off].set(words, mode="drop")
+                    )
+                    back = buf[off]
+                    return carry + back.sum(dtype=jnp.uint32)
+
+                return jax.lax.fori_loop(
+                    0, reps, body, jnp.zeros((), jnp.uint32)
+                ).reshape(1)
+
+            out = pack_loop(words, off)
+            _ = float(out[0])
+            t0 = time.perf_counter()
+            out = pack_loop(words, off)
+            _ = float(out[0])
+            dp = (time.perf_counter() - t0) / reps
+            print(f"  [{s_pad} x {f_pad}] quant+dequant {dt * 1e3:.2f} ms + "
+                  f"pack+unpack {dp * 1e3:.2f} ms (x{n_ex} exchanges)")
+            quant_s += (dt + dp) * n_ex
+        print(f"  total quant+pack per step: {quant_s * 1e3:.1f} ms")
 
     # ---- projection ----
     comp = ONE_CHIP_EPOCH_S / K

@@ -21,6 +21,15 @@ def _free_port() -> int:
 
 @pytest.mark.parametrize("mode", ["Vanilla", "AdaQP"])
 def test_two_process_training(tmp_path, mode):
+    # a free port can be raced away between probe and bind, and coordinator
+    # setup can time out on a loaded host — retry once with a fresh port
+    try:
+        _run_two_process(tmp_path, mode)
+    except (AssertionError, subprocess.TimeoutExpired):
+        _run_two_process(tmp_path, mode)
+
+
+def _run_two_process(tmp_path, mode):
     port = _free_port()
     env_base = {
         **os.environ,

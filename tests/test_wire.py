@@ -69,27 +69,39 @@ def test_wire_layout_invariants():
             # sizes symmetric: recv_sz[r, s] == send_sz[s, r]
             np.testing.assert_array_equal(w.recv_sz, w.send_sz.T)
             np.testing.assert_array_equal(np.diag(w.send_sz), 0)
+            align = int(np.lcm.reduce(np.asarray(w.wpr, np.int64)))
             for s in range(k):
-                # send slices tile [0, total) contiguously
+                # send slices are non-overlapping, in order, lcm-aligned
                 total = 0
                 for r in range(k):
-                    assert w.in_off[s, r] == total
-                    total += w.send_sz[s, r]
+                    assert w.in_off[s, r] >= total
+                    assert w.in_off[s, r] % align == 0
+                    total = w.in_off[s, r] + w.send_sz[s, r]
                 assert total <= w.sb_cap
+                assert w.sb_cap % align == 0  # [rows, wpr] reshape works
                 # every data/param word offset lands inside its pair slice,
-                # each word exactly once
+                # each word at most once; data offsets are wpr-aligned (the
+                # row-granular pack contract); gaps only from alignment
                 used = np.zeros(total, bool)
+                n_words = 0
                 for bi, wpr in enumerate(w.wpr):
                     offs = w.q_off[bi][s]
                     valid = offs < total
+                    assert (offs[valid] % wpr == 0).all()
                     for o in offs[valid]:
                         assert not used[o : o + wpr].any()
                         used[o : o + wpr] = True
+                    n_words += int(valid.sum()) * wpr
                     if w.has_params:
                         poffs = w.q_poff[bi][s][valid]
                         assert not used[poffs].any()
                         used[poffs] = True
-                assert used.all(), f"holes in send buffer of shard {s}"
+                        n_words += int(valid.sum())
+                # alignment gaps are bounded: < one row per (pair, bucket)
+                # intra-slice, < align words between slices (not shipped)
+                max_gap = (k - 1) * (sum(p - 1 for p in w.wpr) + align - 1)
+                assert used.sum() == n_words
+                assert total - n_words <= max_gap, (total, n_words, max_gap)
 
 
 def test_byte_accounting_skewed_partition():
@@ -170,6 +182,51 @@ def test_exchange_ragged_fp_matches_dense(rng):
     g_r = jax.grad(lambda h: run_ragged(h, sink, wdev, gw)[1].sum())(h)
     g_d = jax.grad(lambda h: run_fp(h, sink, gw)[1].sum())(h)
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_d), atol=1e-5)
+
+
+def test_row_granular_pack_matches_word_form(rng, monkeypatch):
+    # the TPU pack form (one descriptor per lane over the [rows, wpr] view)
+    # must move exactly the same words as the CPU word form — forced on CPU
+    # here since a single-chip TPU has no cross-partition pairs to exchange
+    from adaqp_tpu.comm import exchange_ragged as xr
+
+    g, lay, asg, dims, plans = _layout_and_plans(num_layers=2)
+    plan = lay.plan_fwd
+    f = lay.num_feats
+    mesh = make_mesh(K)
+    h = jnp.asarray(lay.feats)
+    sink = jnp.zeros((K, plan.r_pad))
+    gw = jnp.asarray(rng.normal(size=(K, plan.r_pad, f)).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    w1f = jax.tree.map(jnp.asarray, plans[1][0])
+    w1b = jax.tree.map(jnp.asarray, plans[1][1])
+    wfp = jax.tree.map(jnp.asarray, wire_fp(plan, [f, f], 2)[1])
+
+    def run(wf, wb, ft, use_keys):
+        def body(h, sk, args):
+            wf, wb, gww = args
+            rem = xr.exchange_ragged(
+                h[0], keys if use_keys else None, sk[0], wf.local(),
+                None if wb is None else wb.local(), plan.r_pad, f, "part", ft,
+            )
+            return rem[None], (rem * gww[0]).sum()[None]
+
+        fn = shard_map(
+            body, mesh=mesh, in_specs=(P("part"),) * 3,
+            out_specs=(P("part"), P("part")),
+        )
+        rem, _ = fn(h, sink, (wf, wb, gw))
+        grad = jax.grad(lambda h: fn(h, sink, (wf, wb, gw))[1].sum())(h)
+        return np.asarray(rem), np.asarray(grad)
+
+    for wf, wb, ft in ((w1f, w1b, dims[1]), (wfp[0], wfp[1], lay.f_true)):
+        use_keys = wf is not wfp[0]
+        monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", False)
+        rem_w, g_w = run(wf, wb, ft, use_keys)
+        monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", True)
+        rem_r, g_r = run(wf, wb, ft, use_keys)
+        np.testing.assert_array_equal(rem_r, rem_w)
+        np.testing.assert_array_equal(g_r, g_w)
 
 
 def test_exchange_ragged_quant_roundtrip_and_grad(rng):
