@@ -40,7 +40,9 @@ from .spmm_fast import EllDevice, EllLayout, _run_ell, ell_from_csr
 BD = 256  # dst rows per tile
 BS = 2048  # src cols per tile
 WORDS = BS // 32
-MIN_EDGES = 512  # tiles below this go to the ELL straggler path
+# tiles below this go to the ELL straggler path; ~190 is the measured
+# in-situ breakeven (3.3 us/tile vs ~17 ns/gathered edge, EXPERIMENTS.md)
+MIN_EDGES = 192
 
 
 @dataclass

@@ -181,7 +181,8 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
     return float(np.median(times))
 
 
-def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype):
+def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype,
+                      model_name="gcn"):
     """Same Reddit-scale graph through the REAL Trainer runtime (K=1
     Vanilla, block-MXU impl) — headline and product share the code path
     (round-1 VERDICT weak #1 / next #9). Includes the full product layer
@@ -202,6 +203,7 @@ def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype):
     )
     cfg = RunConfig(
         dataset=g.name,
+        model_name=model_name,
         num_parts=1,
         partition_method="random",
         num_epochs=epochs,
@@ -230,6 +232,8 @@ def main():
     # tile-vs-ELL split threshold: in-situ tile cost ~3.3us and ELL gather
     # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
     p.add_argument("--min_edges", type=int, default=192)
+    p.add_argument("--model", type=str, default="gcn", choices=["gcn", "sage"],
+                   help="trainer-mode model family")
     args = p.parse_args()
 
     if args.quick:
@@ -244,11 +248,12 @@ def main():
     log(f"devices: {jax.devices()}")
     if args.trainer:
         val = run_trainer_bench(
-            n, e, f, c, hidden, layers, args.epochs, jnp.dtype(args.agg_dtype)
+            n, e, f, c, hidden, layers, args.epochs, jnp.dtype(args.agg_dtype),
+            model_name=args.model,
         )
-        metric = (
-            "reddit_trainer_epoch_s" if not args.quick else "quick_trainer_epoch_s"
-        )
+        base = "reddit" if not args.quick else "quick"
+        suffix = "" if args.model == "gcn" else f"_{args.model}"
+        metric = f"{base}_trainer{suffix}_epoch_s"
     else:
         val = run_bench(
             n, e, f, c, hidden, layers, args.epochs,
