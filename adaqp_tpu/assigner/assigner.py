@@ -30,10 +30,12 @@ Math kept from the reference:
 from __future__ import annotations
 
 import logging
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+from scipy import sparse
 from scipy.optimize import LinearConstraint, Bounds, milp
 
 from ..common.types import BITS_SET
@@ -57,6 +59,10 @@ class AssignerConfig:
     wire_feats: int = 0  # packed feature dim on the wire (f_pad)
     param_bytes: int = 4  # bf16 (scale, rmin) per message
     time_limit_s: float = 20.0
+    # accept near-optimal incumbents: proving the last 1% of optimality is
+    # what makes HiGHS run to the time limit; the assignment objective is a
+    # heuristic trade-off to begin with (reference tolerates CBC defaults)
+    mip_rel_gap: float = 0.01
 
 
 @dataclass
@@ -131,22 +137,40 @@ def _solve_direction(
                 c[var_index[(ci, g, bi)]] = cfg.coe_lambda * gv * bits_cost(b) / v_max
     c[z_idx] = (1.0 - cfg.coe_lambda) / t_max
 
-    constraints = []
+    # constraints assembled as ONE sparse block: dense per-row
+    # LinearConstraints cost O(rows * n_vars) memory/time and dominated the
+    # reassignment wall clock (~65 s at 4K groups; sparse: sub-second)
+    rows: List[int] = []
+    cols: List[int] = []
+    vals: List[float] = []
+    rhs_lo: List[float] = []
+    rhs_hi: List[float] = []
+    r = 0
     # one bit per group
     for ci, pr in enumerate(problems):
         for g in range(len(pr.group_var)):
-            row = np.zeros(n_vars)
             for bi in range(nb):
-                row[var_index[(ci, g, bi)]] = 1.0
-            constraints.append(LinearConstraint(row, 1.0, 1.0))
+                rows.append(r)
+                cols.append(var_index[(ci, g, bi)])
+                vals.append(1.0)
+            rhs_lo.append(1.0)
+            rhs_hi.append(1.0)
+            r += 1
     # makespan: alpha * MB_c + beta <= Z  for every channel
     for ci, pr in enumerate(problems):
-        row = np.zeros(n_vars)
         for g, cnt in enumerate(pr.group_count):
             for bi, b in enumerate(BITS_SET):
-                row[var_index[(ci, g, bi)]] = alpha * cnt * msg_bytes[b] / 1e6
-        row[z_idx] = -1.0
-        constraints.append(LinearConstraint(row, -np.inf, -beta))
+                rows.append(r)
+                cols.append(var_index[(ci, g, bi)])
+                vals.append(alpha * cnt * msg_bytes[b] / 1e6)
+        rows.append(r)
+        cols.append(z_idx)
+        vals.append(-1.0)
+        rhs_lo.append(-np.inf)
+        rhs_hi.append(-beta)
+        r += 1
+    a_mat = sparse.csr_matrix((vals, (rows, cols)), shape=(r, n_vars))
+    constraints = LinearConstraint(a_mat, np.asarray(rhs_lo), np.asarray(rhs_hi))
 
     integrality = np.ones(n_vars)
     integrality[z_idx] = 0
@@ -158,7 +182,7 @@ def _solve_direction(
         constraints=constraints,
         integrality=integrality,
         bounds=Bounds(lb, ub),
-        options={"time_limit": cfg.time_limit_s},
+        options={"time_limit": cfg.time_limit_s, "mip_rel_gap": cfg.mip_rel_gap},
     )
     out: Dict[Tuple[int, int], np.ndarray] = {}
     if res.x is None:
@@ -223,10 +247,8 @@ class Assigner:
         k = self.k
         if layer_dims is None:
             layer_dims = [cfg.wire_feats] * self.num_layers
-        fwd_out: List[np.ndarray] = []
-        bwd_out: List[np.ndarray] = []
-        for layer in range(self.num_layers):
-            # ---- forward ----
+
+        def build_fwd(layer: int) -> List[ChannelProblem]:
             problems = []
             for s in range(k):
                 for r in range(k):
@@ -239,9 +261,53 @@ class Assigner:
                     )
                     groups, gvar, gcnt = _group_channel(combined, lanes, cfg.group_size)
                     problems.append(ChannelProblem((s, r), groups, gvar, gcnt))
-            sol = _solve_direction(
-                problems, cfg, self.alpha, self.beta, layer_dims[layer]
+            return problems
+
+        def build_bwd(layer: int) -> List[ChannelProblem]:
+            problems = []
+            for r in range(k):
+                offset = 0
+                for s in range(k):
+                    if s == r:
+                        continue
+                    cnt = int(plan.counts[s, r])
+                    if cnt == 0:
+                        continue
+                    slots = np.arange(offset, offset + cnt)
+                    combined = (
+                        self.scores_bp_slot[r, slots] ** 2
+                        * bwd_traces[layer, r, slots]
+                    )
+                    groups, gvar, gcnt = _group_channel(
+                        combined, slots, cfg.group_size
+                    )
+                    problems.append(ChannelProblem((r, s), groups, gvar, gcnt))
+                    offset += cnt
+            return problems
+
+        # the 2L-1 layer-direction MILPs are independent: solve them
+        # concurrently (reference ThreadPool, ``assigner.py:275-285``;
+        # HiGHS releases the GIL during the solve)
+        tasks = []  # (kind, layer, problems)
+        for layer in range(self.num_layers):
+            tasks.append(("fwd", layer, build_fwd(layer)))
+            if layer > 0:
+                tasks.append(("bwd", layer, build_bwd(layer)))
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            sols = list(
+                pool.map(
+                    lambda t: _solve_direction(
+                        t[2], cfg, self.alpha, self.beta, layer_dims[t[1]]
+                    ),
+                    tasks,
+                )
             )
+        solved = {(kind, layer): (pr, sol) for (kind, layer, pr), sol in zip(tasks, sols)}
+
+        fwd_out: List[np.ndarray] = []
+        bwd_out: List[np.ndarray] = []
+        for layer in range(self.num_layers):
+            problems, sol = solved[("fwd", layer)]
             fwd_bits = np.zeros_like(plan.send_idx, dtype=np.int32)
             for pr in problems:
                 s, r = pr.key
@@ -252,28 +318,7 @@ class Assigner:
             # ---- backward (layer 0 carries no gradient exchange) ----
             bwd_bits = np.zeros((k, plan.r_pad), np.int32)
             if layer > 0:
-                problems = []
-                for r in range(k):
-                    offset = 0
-                    for s in range(k):
-                        if s == r:
-                            continue
-                        cnt = int(plan.counts[s, r])
-                        if cnt == 0:
-                            continue
-                        slots = np.arange(offset, offset + cnt)
-                        combined = (
-                            self.scores_bp_slot[r, slots] ** 2
-                            * bwd_traces[layer, r, slots]
-                        )
-                        groups, gvar, gcnt = _group_channel(
-                            combined, slots, cfg.group_size
-                        )
-                        problems.append(ChannelProblem((r, s), groups, gvar, gcnt))
-                        offset += cnt
-                sol = _solve_direction(
-                    problems, cfg, self.alpha, self.beta, layer_dims[layer]
-                )
+                problems, sol = solved[("bwd", layer)]
                 for pr in problems:
                     r, s = pr.key
                     for g, slots in enumerate(pr.group_lanes):

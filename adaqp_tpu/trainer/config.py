@@ -57,6 +57,12 @@ class RunConfig:
     # ragged_all_to_all (reference-parity byte volume); "padded" = dense
     # all_to_all at worst-channel capacity (legacy round-1 path)
     wire_impl: str = "ragged"
+    # pow2-bracket wire capacities so reassignments reuse the compiled step
+    # (wire bytes stay exact; pack work gains <2x sentinel lanes). None =
+    # auto: on for TPU (a retrace costs ~35s there vs ~10ms/epoch of pack),
+    # off for the CPU mesh (pack dominates its epoch; retraces are rarer
+    # than epochs). Only affects schemes that reassign (adaptive/random).
+    static_wire: Optional[bool] = None
     agg_dtype: str = "float32"  # aggregation compute dtype
     # checkpoint / resume (capability absent in the reference, SURVEY.md §5)
     ckpt_every: int = 0  # epochs between checkpoints; 0 = off

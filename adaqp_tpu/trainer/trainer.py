@@ -249,9 +249,19 @@ class Trainer:
             if self.k > 1:
                 from ..comm.wire import wire_from_assignment
 
+                # schemes that reassign can get pow2-bracketed SHAPES
+                # (offsets/wire bytes stay exact) so the jitted step's
+                # cache hits across reassignments instead of retracing
+                # (round-1 design paid a full recompile per cycle,
+                # SURVEY 7.3); see RunConfig.static_wire for the default
+                sw = self.cfg.static_wire
+                if sw is None:
+                    sw = jax.default_backend() == "tpu"
                 self.wire_dev = self._put_wire(
                     wire_from_assignment(
-                        self.layout.plan_fwd, self.assignment, self.layer_dims
+                        self.layout.plan_fwd, self.assignment, self.layer_dims,
+                        static_shapes=sw
+                        and self.scheme in (Scheme.ADAPTIVE, Scheme.RANDOM),
                     )
                 )
             self.bucket_bits = None
@@ -413,11 +423,19 @@ class Trainer:
                 tf, tb, layer_dims=self.layer_dims
             )
             self._reset_traces()
+        t_assign = time.perf_counter() - t0
         self._lower_buckets()
-        self._train_step = self._make_train_step()  # bucket shapes changed
+        if self.cfg.wire_impl != "ragged":
+            # dense bucket shapes changed -> the step must re-close over the
+            # new static bucket structure (ragged plans are same-shaped jit
+            # ARGUMENTS under static_shapes: the existing cache hits)
+            self._train_step = self._make_train_step()
         dt = time.perf_counter() - t0
         self.timer.add("assignment_overhead", dt)
-        logger.info("epoch %d: reassignment done in %.2fs", epoch, dt)
+        logger.info(
+            "epoch %d: reassignment done in %.2fs (solve %.2fs, lower %.2fs)",
+            epoch, dt, t_assign, dt - t_assign,
+        )
 
     def _breakdown_probe(self, reps: int = 5):
         """Estimate per-epoch time buckets [comm, quant, central, marginal]

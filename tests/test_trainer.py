@@ -53,7 +53,8 @@ def test_modes_learn(tmp_path, mode):
 @pytest.mark.parametrize("scheme", ["random", "adaptive"])
 def test_schemes_with_reassignment(tmp_path, scheme):
     t, rec = _run(
-        tmp_path, mode="AdaQP", assign_scheme=scheme, num_epochs=18, assign_cycle=8
+        tmp_path, mode="AdaQP", assign_scheme=scheme, num_epochs=18,
+        assign_cycle=8, static_wire=True,  # exercise the TPU-default path
     )
     _, tr, va, te = rec["best"]
     assert va > 0.9, f"{scheme}: val acc {va}"
@@ -61,6 +62,11 @@ def test_schemes_with_reassignment(tmp_path, scheme):
         # assignment was recomputed from traces: some spread of bit widths
         lm_bits = np.concatenate([a.ravel() for a in t.assignment.fwd])
         assert set(np.unique(lm_bits[lm_bits > 0])) <= {2, 4, 8}
+    # static-shape wire (pow2 capacity brackets): reassignments with stable
+    # bucket volumes reuse the compiled step. At most one extra trace is
+    # expected (adaptive's uniform-8 bootstrap -> first mixed assignment);
+    # without static shapes every cycle would add one.
+    assert t._train_step._cache_size() <= 2
 
 
 def test_sage_multilabel(tmp_path):

@@ -184,6 +184,74 @@ def test_exchange_ragged_fp_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_d), atol=1e-5)
 
 
+def test_static_shapes_stable_and_exact(rng):
+    # static_shapes: reassignments that keep every bucket inside its pow2
+    # capacity bracket must yield identically SHAPED plans (no jit retrace)
+    # while send_sz stays the exact per-assignment wire size. A lane->bits
+    # permutation within each channel preserves all bucket counts exactly —
+    # the canonical "assignment drifted, volume similar" case.
+    _, lay, _, dims, _ = _layout_and_plans()
+    plan = lay.plan_fwd
+    asg_a = random_assignment(plan, 2, seed=11)
+    perm = np.random.default_rng(0)
+    k = plan.send_idx.shape[0]
+    fwd_p = [a.copy() for a in asg_a.fwd]
+    for lm in fwd_p:
+        for s in range(k):
+            for r in range(k):
+                cnt = int(plan.counts[s, r])
+                lm[s, r, :cnt] = perm.permutation(lm[s, r, :cnt])
+    asg_b = type(asg_a)(fwd=fwd_p, bwd=[a.copy() for a in asg_a.bwd])
+    pa = wire_from_assignment(plan, asg_a, dims, static_shapes=True)
+    pb = wire_from_assignment(plan, asg_b, dims, static_shapes=True)
+    assert jax.tree.structure(pa) == jax.tree.structure(pb)
+    for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        assert np.asarray(la).shape == np.asarray(lb).shape
+    # wire bytes remain the exact per-assignment sizes
+    for asg, plans in ((asg_a, pa), (asg_b, pb)):
+        exact_plans = wire_from_assignment(plan, asg, dims)
+        for (fs, bs), (fe, be) in zip(plans, exact_plans):
+            np.testing.assert_array_equal(fs.send_sz, fe.send_sz)
+            if bs is not None:
+                np.testing.assert_array_equal(bs.send_sz, be.send_sz)
+
+
+def test_static_shapes_exchange_matches_exact(rng):
+    # the bounded-allocation plans must produce identical exchange results
+    g, lay, asg, dims, plans = _layout_and_plans(num_layers=2)
+    plan = lay.plan_fwd
+    f = lay.num_feats
+    mesh = make_mesh(K)
+    h = jnp.asarray(lay.feats)
+    sink = jnp.zeros((K, plan.r_pad))
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    static_plans = wire_from_assignment(plan, asg, dims, static_shapes=True)
+
+    def run(wf, wb, ft):
+        def body(h, sk, args):
+            wf, wb = args
+            rem = exchange_ragged(
+                h[0], keys, sk[0], wf.local(),
+                None if wb is None else wb.local(), plan.r_pad, f, "part", ft,
+            )
+            return rem[None]
+
+        return np.asarray(
+            shard_map(
+                body, mesh=mesh, in_specs=(P("part"),) * 3,
+                out_specs=P("part"),
+            )(h, sink, (jax.tree.map(jnp.asarray, wf),
+                        None if wb is None else jax.tree.map(jnp.asarray, wb)))
+        )
+
+    for layer in range(2):
+        we_f, we_b = plans[layer]
+        ws_f, ws_b = static_plans[layer]
+        np.testing.assert_array_equal(
+            run(ws_f, ws_b, dims[layer]), run(we_f, we_b, dims[layer])
+        )
+
+
 def test_row_granular_pack_matches_word_form(rng, monkeypatch):
     # the TPU pack form (one descriptor per lane over the [rows, wpr] view)
     # must move exactly the same words as the CPU word form — forced on CPU
