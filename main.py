@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--spmm_impl", type=str, default=None, choices=["segment", "block"])
     p.add_argument("--agg_dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--block_min_edges", type=int, default=None,
+                   help="tile/ELL split threshold for --spmm_impl block")
+    p.add_argument("--static_wire", type=int, default=None, choices=[0, 1],
+                   help="pow2 wire capacities (reassignment reuses the "
+                        "compiled step); default: on for TPU")
     p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--resume", action="store_true", default=None)
     return p.parse_args()
@@ -55,6 +60,8 @@ def parse_args():
 def main():
     args = parse_args()
     overrides = {k: v for k, v in vars(args).items() if k != "dataset"}
+    if overrides.get("static_wire") is not None:
+        overrides["static_wire"] = bool(overrides["static_wire"])
     cfg = RunConfig.from_yaml(args.dataset, overrides)
     trainer = Trainer(cfg)
     records = trainer.train()
