@@ -58,7 +58,11 @@ class AssignerConfig:
     assign_bits: int = 8  # uniform bootstrap width
     wire_feats: int = 0  # packed feature dim on the wire (f_pad)
     param_bytes: int = 4  # bf16 (scale, rmin) per message
-    time_limit_s: float = 20.0
+    # wall-clock cap per solve. Generous: the 2L-1 solves run CONCURRENTLY,
+    # so on a loaded host a tight cap could expire before any incumbent is
+    # found and silently degrade that direction to uniform bits; with the
+    # rel-gap below, typical solves finish in well under a second anyway
+    time_limit_s: float = 60.0
     # accept near-optimal incumbents: proving the last 1% of optimality is
     # what makes HiGHS run to the time limit; the assignment objective is a
     # heuristic trade-off to begin with (reference tolerates CBC defaults)

@@ -407,6 +407,16 @@ class Trainer:
         return jax.jit(step)
 
     # ------------------------------------------------------------------
+    def _wire_sig(self):
+        """Shape signature of the quantized wire plans — the part of the
+        jit cache key reassignment can change."""
+        if self.wire_dev is None:
+            return None
+        return (
+            jax.tree.structure(self.wire_dev),
+            tuple(np.shape(leaf) for leaf in jax.tree.leaves(self.wire_dev)),
+        )
+
     def _reassign(self, epoch: int):
         """Periodic bit-width reassignment (reference
         ``runtime_util.py:86-93`` + §3.4)."""
@@ -427,9 +437,15 @@ class Trainer:
         self._lower_buckets()
         if self.cfg.wire_impl != "ragged":
             # dense bucket shapes changed -> the step must re-close over the
-            # new static bucket structure (ragged plans are same-shaped jit
-            # ARGUMENTS under static_shapes: the existing cache hits)
+            # new static bucket structure
             self._train_step = self._make_train_step()
+        elif self._wire_sig() != self._built_wire_sig:
+            # shapes actually changed (static_wire off, or a pow2 bracket
+            # crossed): rebuild so the old executable is released instead of
+            # accumulating one jit-cache entry per distinct shape forever
+            self._built_wire_sig = self._wire_sig()
+            self._train_step = self._make_train_step()
+        # else: ragged plans are same-shaped jit ARGUMENTS — cache hits
         dt = time.perf_counter() - t0
         self.timer.add("assignment_overhead", dt)
         logger.info(
@@ -577,6 +593,7 @@ class Trainer:
             except Exception as exc:  # probes are best-effort diagnostics
                 logger.warning("breakdown probe failed: %s", exc)
         start_epoch = self._maybe_resume() if cfg.resume else 0
+        self._built_wire_sig = self._wire_sig()
         self._train_step = self._make_train_step()
         eval_step = self._make_eval_step()
         key = jax.random.PRNGKey(cfg.seed)

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--min_edges", type=int, default=192)
     args = p.parse_args()
+    if args.layers < 2:
+        p.error("--layers must be >= 2 (input + output projections)")
 
     key = f"{CACHE}/prod_{N}"
     if os.path.exists(key + "_edges.npz"):

@@ -130,7 +130,9 @@ def main():
         s_pad = -(-s_rows // 1024) * 1024
         reps = 20
         rng = np.random.default_rng(1)
-        for f_pad, f_true, n_ex in ((640, F, 1), (256, HIDDEN, 2 * LAYERS - 3)):
+        # 2L-1 exchanges total: fwd carries [F, H, H...], bwd [H, H...] —
+        # one feature-width exchange + (2L-2) hidden-width ones
+        for f_pad, f_true, n_ex in ((640, F, 1), (256, HIDDEN, 2 * LAYERS - 2)):
             x0 = jnp.asarray(rng.normal(size=(s_pad, f_pad)).astype(np.float32))
 
             @jax.jit

@@ -18,6 +18,7 @@ import re
 import time
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -178,13 +179,21 @@ def test_exchange_overlaps_with_independent_compute():
         return float(np.median(ts))
 
     # Wall-clock comparison on a shared host is noisy; the overlap win is
-    # ~10-12% so a loaded machine can flip a single measurement. Retry a
-    # few times and require the win in any round.
+    # ~10-12% so a loaded machine can flip a single measurement. Require a
+    # real MARGIN (5%) in some round — plain `o < s` would also pass ~50%
+    # of the time if overlap silently broke (t_overlap == t_serial +
+    # noise), hiding the regression. If the serial BASELINE itself is
+    # unstable across rounds, the host is too loaded for any timing
+    # assertion — skip instead of flaking either way.
     results = []
-    for _ in range(3):
+    for _ in range(5):
         t_serial = run(make(False))
         t_overlap = run(make(True))
         results.append((t_overlap, t_serial))
-        if t_overlap < t_serial:
+        if t_overlap < 0.95 * t_serial:
             break
-    assert any(o < s for o, s in results), results
+    else:
+        serials = [s for _, s in results]
+        if max(serials) > 1.3 * min(serials):
+            pytest.skip(f"host too loaded for timing assertions: {results}")
+    assert any(o < 0.95 * s for o, s in results), results
