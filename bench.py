@@ -36,6 +36,11 @@ if os.environ.get("JAX_PLATFORMS"):
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 REDDIT_N = 232_965
 REDDIT_E = 114_615_892  # directed edges incl. self-loops (DGL reddit)
 REDDIT_F = 602

@@ -21,8 +21,10 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 from adaqp_tpu.comm.distributed import maybe_initialize_distributed  # noqa: E402
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
 
 maybe_initialize_distributed()
+enable_compilation_cache()
 
 from adaqp_tpu.trainer import RunConfig, Trainer  # noqa: E402
 

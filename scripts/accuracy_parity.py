@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from adaqp_tpu.trainer import RunConfig, Trainer  # noqa: E402
 
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 SYNTH = {"n": 2000, "blocks": 8, "num_feats": 32, "p_in": 0.02, "p_out": 0.002, "seed": 7}
 EPOCHS = 60
 

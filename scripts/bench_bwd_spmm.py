@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def force(x):
     # axon block_until_ready is lazy; a host readback forces completion

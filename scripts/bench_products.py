@@ -24,6 +24,10 @@ import optax
 from adaqp_tpu.model.loss import masked_loss_sum
 from adaqp_tpu.ops.spmm_block import block_layout, spmm_block
 
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 N, E_TARGET, F, C = 2_449_029, 123_718_280, 100, 47
 CACHE = "data/bench_cache"
 

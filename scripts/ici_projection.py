@@ -35,6 +35,10 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 CACHE = "data/bench_cache"
 N, E, F = 232_965, 114_615_892, 602
 HIDDEN, LAYERS = 256, 3

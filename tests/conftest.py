@@ -23,6 +23,11 @@ import jax  # noqa: E402
 # regardless of JAX_PLATFORMS; this forces the virtual CPU mesh anyway.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is mostly XLA:CPU compiles; replay them from the on-disk cache.
+from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

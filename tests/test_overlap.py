@@ -14,6 +14,7 @@ Two complementary checks on the real ``dist_aggregate`` paths:
    than the serialized one on a comm-heavy shape — evidence overlap
    actually happens at runtime, not just that it is permitted.
 """
+import os
 import re
 import time
 
@@ -126,6 +127,30 @@ def test_hlo_local_agg_dependence(mode, expect_serialized):
         assert compute, "every compute op depends on the all-to-all"
 
 
+def test_exchange_overlap_wallclock(tmp_path):
+    """Wrapper: the executor-timing measurement below is reliable in a
+    fresh interpreter but sensitive to in-process suite state (allocator /
+    thread-pool residue after ~90 tests shrinks the overlap win below any
+    honest margin) — so measure it in a subprocess, standalone-style."""
+    import subprocess
+    import sys
+
+    here = os.path.abspath(__file__)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q",
+         f"{here}::test_exchange_overlaps_with_independent_compute"],
+        env={**os.environ, "ADAQP_OVERLAP_INNER": "1"},
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(here)),
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-1000:]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ADAQP_OVERLAP_INNER"),
+    reason="run via the subprocess wrapper above",
+)
 def test_exchange_overlaps_with_independent_compute():
     """The boundary exchange and dependence-free local compute really run
     CONCURRENTLY on the executor (not merely "may"): timed with matmul-shaped
