@@ -37,6 +37,32 @@ def test_pallas_block_kernel_matches():
     assert np.abs(got - ref).max() <= 2e-2 * scale
 
 
+def test_block_with_ell_stragglers_bf16():
+    # force a REAL tile/ELL mix (high min_edges sends sparse tiles to the
+    # gather path) and bf16 activations — the straggler gather runs in
+    # bf16 with f32 accumulation (spmm_block.py straggler route)
+    rng = np.random.default_rng(2)
+    n, f = 3000, 128
+    # dense band (survives as tiles) + sparse uniform tail (goes to ELL)
+    band_src = rng.integers(0, n, 40000).astype(np.int32)
+    band_dst = ((band_src + rng.integers(-100, 100, 40000)) % n).astype(np.int32)
+    tail_src = rng.integers(0, n, 3000).astype(np.int32)
+    tail_dst = rng.integers(0, n, 3000).astype(np.int32)
+    src = np.concatenate([band_src, tail_src])
+    dst = np.concatenate([band_dst, tail_dst])
+    lay = block_layout(src, dst, n, min_edges=400)
+    assert lay.straggler is not None, "test graph produced no ELL stragglers"
+    assert lay.masks.shape[0] > 0, "test graph produced no dense tiles"
+    h = np.zeros((lay.n_pad, f), np.float32)
+    h[:n] = rng.normal(size=(n, f)).astype(np.float32)
+    h_bf = jnp.asarray(h).astype(jnp.bfloat16)
+    got = np.asarray(run_block(lay.to_device(), h_bf, use_pallas=True))
+    # reference over bf16-precision inputs (what the chip actually sums)
+    ref = _ref(src, dst, np.asarray(h_bf, np.float64), lay.n_pad, n)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 2e-2 * scale
+
+
 def test_pallas_block_grad():
     rng = np.random.default_rng(1)
     n, e, f = 2000, 30000, 128
