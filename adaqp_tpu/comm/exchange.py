@@ -232,14 +232,15 @@ def _exchange_quant_fwd(
         remote = remote.at[recv_slot.reshape(-1)].set(
             rows_r.reshape(k * cap, f), mode="drop"
         )
-    return remote, (h.shape, keys, bucket_arrays)
+    # zero-size proto carries h's dtype (residuals must be JAX types)
+    return remote, (h.shape, jnp.zeros((0,), h.dtype), keys, bucket_arrays)
 
 
 def _exchange_quant_bwd(bucket_bits, r_pad, f_pad, axis, f_true, bwd_live, res, g_remote):
-    (l, f), keys, bucket_arrays = res
+    (l, f), proto, keys, bucket_arrays = res
     if not bwd_live:
         return (
-            jnp.zeros((l, f), jnp.float32), None,
+            jnp.zeros((l, f), proto.dtype), None,
             jnp.zeros((r_pad,), jnp.float32), None,
         )
     # backward messages are hidden-layer gradients: every column is live
@@ -269,7 +270,7 @@ def _exchange_quant_bwd(bucket_bits, r_pad, f_pad, axis, f_true, bwd_live, res, 
         bwd_trace = bwd_trace.at[gather_slot.reshape(-1)].set(
             tr.reshape(-1), mode="drop"
         )
-    return ct, None, bwd_trace, None
+    return ct.astype(proto.dtype), None, bwd_trace, None
 
 
 exchange_quant.defvjp(_exchange_quant_fwd, _exchange_quant_bwd)

@@ -205,21 +205,22 @@ def _exchange_ragged_fwd(h, keys, sink, wfwd, wbwd, r_pad, f_pad, axis, f_true):
         wfwd, h, r_pad, False, None if keys is None else keys[0],
         f_true, f_pad, axis,
     )
-    return remote, (h.shape, keys, wfwd, wbwd)
+    # zero-size proto carries h's dtype (residuals must be JAX types)
+    return remote, (h.shape, jnp.zeros((0,), h.dtype), keys, wfwd, wbwd)
 
 
 def _exchange_ragged_bwd(r_pad, f_pad, axis, f_true, res, g_remote):
-    (l, f), keys, wfwd, wbwd = res
+    (l, f), proto, keys, wfwd, wbwd = res
     if wbwd is None:
         return (
-            jnp.zeros((l, f), jnp.float32), None,
+            jnp.zeros((l, f), proto.dtype), None,
             jnp.zeros((r_pad,), jnp.float32), None, None,
         )
     # gradient rows carry the full message width (hidden layers only)
     ct = _run_dir(
         wbwd, g_remote, l, True, None if keys is None else keys[1],
         f_true, f_pad, axis,
-    )
+    ).astype(proto.dtype)
     # backward variance trace keyed by halo slot (= this shard's wire-send
     # lanes; reference @trace_input on the gradient exchange, op_util.py:91-99)
     bwd_trace = jnp.zeros((r_pad,), jnp.float32)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,12 @@ class BlockShards:
     four per-shard layouts, plus shard-uniform ELL straggler buckets."""
 
     fwd_local: Quad
-    bwd_local: Quad
+    # None for bidirected graphs: the symmetric local operator is its own
+    # transpose, so the backward reuses fwd_local IN-TRACE — carrying a
+    # second copy as a jit parameter would double the bitmask HBM in XLA's
+    # allocation (the reference aliases too: bwd_graph = dgl.reverse UNLESS
+    # bidirected, graphEngine.py:135-147)
+    bwd_local: Optional[Quad]
     fwd_halo: Quad
     bwd_halo: Quad
     ells: Tuple[EllStack, EllStack, EllStack, EllStack]  # aligned with _GROUPS
@@ -77,9 +82,13 @@ class BlockShards:
                 straggler = EllDevice(n_pad, buckets, ROW_CHUNK)
             return BlockDevice(n_pad, n_pad, m, ss, db, fi, straggler, n_src_pad)
 
+        if self.bwd_local is None:  # bidirected: backward IS forward
+            bwd_dev = dev(0, self.fwd_local, self.l_max, self.l_max)
+        else:
+            bwd_dev = dev(1, self.bwd_local, self.l_max, self.l_max)
         return (
             dev(0, self.fwd_local, self.l_max, self.l_max),
-            dev(1, self.bwd_local, self.l_max, self.l_max),
+            bwd_dev,
             dev(2, self.fwd_halo, self.l_max, self.r_pad),
             dev(3, self.bwd_halo, self.r_pad, self.l_max),
         )
@@ -178,7 +187,14 @@ def build_block_shards(
             min_edges=min_edges, dedup=False, n_src=n_src,
         )
         groups["fwd_local"].append(mk(ls, ld, l_max, l_max))
-        groups["bwd_local"].append(mk(ld, ls, l_max, l_max))
+        # bidirected graphs: the local edge multiset is symmetric, so the
+        # backward-local operator IS the forward one — alias instead of
+        # building (and uploading) a second tile set. The reference does
+        # the same (bwd_graph = dgl.reverse UNLESS bidirected,
+        # graphEngine.py:135-147); at products scale this halves the
+        # bitmask HBM (~1.2 GB) and the host build time.
+        if not layout.is_bidirected:
+            groups["bwd_local"].append(mk(ld, ls, l_max, l_max))
         groups["fwd_halo"].append(mk(hs, hd, l_max, r_pad))
         groups["bwd_halo"].append(mk(hd, hs, r_pad, l_max))
     quads = {}
@@ -187,6 +203,11 @@ def build_block_shards(
     n_out = {"fwd_local": l_max, "bwd_local": l_max, "fwd_halo": l_max,
              "bwd_halo": r_pad}
     for name in _GROUPS:
+        if name == "bwd_local" and layout.is_bidirected:
+            quads[name] = None  # devices() substitutes fwd_local in-trace
+            widths_all.append(())
+            ells_all.append(())
+            continue
         lays = groups[name]
         t_max = max(l.masks.shape[0] for l in lays)
         quads[name] = _pad_tiles(lays, t_max)

@@ -97,6 +97,11 @@ class ShardStatic:
     edge_chunk: Optional[int] = None  # None -> one-shot segment_sum
     spmm: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
     agg_dtype: str = "float32"  # aggregation compute dtype ("bfloat16" on TPU)
+    # rematerialize each GNN layer in backward: trades a second aggregation
+    # pass for not storing the [n, hidden] f32 activations/dropout masks —
+    # lets graphs that fit forward-only (products @ hidden 256, 16 GB chip)
+    # train under the full runtime
+    remat: bool = False
 
 
 def shard_arrays_from_layout(layout: PartitionLayout) -> ShardArrays:

@@ -99,25 +99,53 @@ def apply_gnn(
         # exact hidden width (quantization range must ignore pad columns)
         ft = cfg.f_true if (i == 0 and cfg.f_true) else h.shape[1]
         wire_i = None if wire_per_layer is None else wire_per_layer[i]
-        agg, tr = dist_aggregate(
-            h, sh, cfg, sinks[i], keys_i, train, buckets_i, blocks, f_true=ft,
-            bwd_live=(i > 0),  # layer-0 input features carry no gradient
-            wire_plans=wire_i,
-        )
+
+        def layer_fn(h, layer, sink_i, i=i, keys_i=keys_i, buckets_i=buckets_i,
+                     ft=ft, wire_i=wire_i):
+            agg, tr = dist_aggregate(
+                h, sh, cfg, sink_i, keys_i, train, buckets_i, blocks,
+                f_true=ft,
+                bwd_live=(i > 0),  # layer-0 input features carry no gradient
+                wire_plans=wire_i,
+            )
+            # the configured aggregation dtype also drives the dense
+            # transform (MXU-native) and inter-layer activation storage —
+            # at products scale the f32 [n, hidden] activations are what
+            # overflow HBM; logits return in f32 for the loss
+            dt = jnp.bfloat16 if cfg.agg_dtype == "bfloat16" else None
+            if dt is not None:
+                agg = agg.astype(dt)
+
+            def w(name):
+                m = layer[name]
+                return m.astype(dt) if dt is not None else m
+
+            if cfg.model is GNNType.GCN:
+                out = agg @ w("w") + w("b")
+            else:
+                out = agg @ w("w_neigh") + w("b")
+                if "w_self" in layer:
+                    out = out + h.astype(agg.dtype) @ w("w_self")
+            if i < n_layers - 1:
+                if train and cfg.dropout > 0.0:
+                    dk = jax.random.fold_in(dropout_key, i)
+                    keep = jax.random.bernoulli(dk, 1.0 - cfg.dropout, out.shape)
+                    out = jnp.where(keep, out / (1.0 - cfg.dropout), 0.0)
+                if cfg.use_norm:
+                    # normalization statistics in f32 regardless of dt
+                    out = _layernorm(
+                        out.astype(jnp.float32), layer["ln_scale"],
+                        layer["ln_bias"],
+                    ).astype(agg.dtype)
+                out = jax.nn.relu(out)
+            else:
+                out = out.astype(jnp.float32)
+            return out, tr
+
+        if cfg.remat and train:
+            # recompute this layer's [n, hidden] intermediates in backward
+            # instead of storing them (ShardStatic.remat)
+            layer_fn = jax.checkpoint(layer_fn)
+        h, tr = layer_fn(h, layer, sinks[i])
         traces.append(tr)
-        if cfg.model is GNNType.GCN:
-            out = agg @ layer["w"] + layer["b"]
-        else:
-            out = agg @ layer["w_neigh"] + layer["b"]
-            if "w_self" in layer:
-                out = out + h @ layer["w_self"]
-        if i < n_layers - 1:
-            if train and cfg.dropout > 0.0:
-                dk = jax.random.fold_in(dropout_key, i)
-                keep = jax.random.bernoulli(dk, 1.0 - cfg.dropout, out.shape)
-                out = jnp.where(keep, out / (1.0 - cfg.dropout), 0.0)
-            if cfg.use_norm:
-                out = _layernorm(out, layer["ln_scale"], layer["ln_bias"])
-            out = jax.nn.relu(out)
-        h = out
     return h, jnp.stack(traces)

@@ -147,9 +147,12 @@ def dist_aggregate(
         use_pallas = jax.default_backend() == "tpu" and h.shape[1] % 128 == 0
 
         def pair(hl, hr):
+            # kernels emit dt (f32 accumulation inside); keeping the sum in
+            # dt halves the [l_max, F] residents under agg_dtype=bfloat16 —
+            # the downstream normalization/transform casts fuse
             a = spmm_block(fl, hl.astype(dt), bl, use_pallas)
             b = spmm_block(fh, hr.astype(dt), bh, use_pallas)
-            return (a + b).astype(jnp.float32)
+            return a + b
 
     else:
         edges = (

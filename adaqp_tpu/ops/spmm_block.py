@@ -241,7 +241,7 @@ def block_layout(
 # ---------------------------------------------------------------------------
 
 
-def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win, sems):
+def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win, sems, acc):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -277,11 +277,21 @@ def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win,
 
     @pl.when(fi_ref[t] == 1)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        acc[:] = jnp.zeros_like(acc)
 
-    out_ref[:] += jnp.dot(
+    # accumulate across the dst block's tiles in an f32 scratch; the HBM
+    # output buffer is written once per block in h's dtype (bf16 under
+    # agg_dtype=bfloat16 — halves the [n_pad, F] output residents that
+    # dominate HBM at products scale)
+    acc[:] += jnp.dot(
         a, win[slot].astype(jnp.bfloat16), preferred_element_type=jnp.float32
     )
+    nxt = db_ref[jnp.minimum(t + 1, nt - 1)]
+    last = jnp.logical_or(t + 1 == nt, nxt != db_ref[t])
+
+    @pl.when(last)
+    def _():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -309,12 +319,13 @@ def _run_block_pallas(layout: BlockDevice, h: jnp.ndarray, interpret: bool = Fal
         scratch_shapes=[
             pltpu.VMEM((2, BS, f), h.dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((BD, f), jnp.float32),  # f32 block accumulator
         ],
     )
     out = pl.pallas_call(
         functools.partial(_block_kernel, f),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), h.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(14.5 * 1024 * 1024),
@@ -344,11 +355,16 @@ def _run_block_jnp(layout: BlockDevice, h: jnp.ndarray) -> jnp.ndarray:
             layout.dst_blk[i] * BD,
             axis=0,
         )
-    return out
+    return out.astype(h.dtype)
 
 
 def run_block(layout: BlockDevice, h: jnp.ndarray, use_pallas: bool = True) -> jnp.ndarray:
     """out = A^T h over [n_pad, F] arrays (rows >= n are zero padding).
+
+    Output dtype follows ``h.dtype`` (accumulation is always f32 — in VMEM
+    scratch on the Pallas path): under agg_dtype=bfloat16 the [n_pad, F]
+    aggregation residents are half-width, which is what fits products-scale
+    hidden 256 training in one chip's HBM.
 
     The Pallas path needs F % 128 == 0 (Mosaic requires lane-aligned sliced
     DMAs); aggregation runs on layer inputs (padded feats / hidden dims), so
@@ -361,8 +377,11 @@ def run_block(layout: BlockDevice, h: jnp.ndarray, use_pallas: bool = True) -> j
     else:
         out = _run_block_jnp(layout, h)
     if layout.straggler is not None:
-        # gather in h's dtype (bf16 halves HBM traffic), accumulate in f32
-        out = out + _run_ell(layout.straggler, h, acc_dtype=jnp.float32)
+        # gather in h's dtype (bf16 halves HBM traffic), accumulate in f32,
+        # store the [n_pad, F] result back in h's dtype (keeps the big
+        # residents half-width under agg_dtype=bfloat16)
+        ell = _run_ell(layout.straggler, h, acc_dtype=jnp.float32)
+        out = out + ell.astype(h.dtype)
     return out
 
 

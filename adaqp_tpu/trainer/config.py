@@ -64,6 +64,9 @@ class RunConfig:
     # than epochs). Only affects schemes that reassign (adaptive/random).
     static_wire: Optional[bool] = None
     agg_dtype: str = "float32"  # aggregation compute dtype
+    # rematerialize GNN layers in backward (memory for recompute; lets
+    # products-scale hidden 256 train under the full runtime on one chip)
+    remat: bool = False
     # checkpoint / resume (capability absent in the reference, SURVEY.md §5)
     ckpt_every: int = 0  # epochs between checkpoints; 0 = off
     ckpt_dir: str = "checkpoints"

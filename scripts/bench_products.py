@@ -38,6 +38,12 @@ def main():
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--min_edges", type=int, default=192)
+    p.add_argument("--trainer", action="store_true",
+                   help="run through the full Trainer runtime instead of "
+                        "the raw loop (LayerNorm, dropout, eval, artifacts)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize layers in backward (trainer mode; "
+                        "needed for hidden 256 on a 16 GB chip)")
     args = p.parse_args()
     if args.layers < 2:
         p.error("--layers must be >= 2 (input + output projections)")
@@ -57,6 +63,10 @@ def main():
         os.makedirs(CACHE, exist_ok=True)
         np.savez(key + "_edges.npz", src=src, dst=dst)
     print(f"edges: {len(src) / 1e6:.1f}M", flush=True)
+
+    if args.trainer:
+        run_trainer(src, dst, args)
+        return
 
     t0 = time.perf_counter()
     # symmetric graph: one layout serves forward and backward
@@ -128,6 +138,43 @@ def main():
         ts.append(time.perf_counter() - t0)
         print(f"epoch {i}: {ts[-1]:.2f}s loss {float(loss):.4f}", flush=True)
     print("PRODUCTS_EPOCH_S", float(np.median(ts)))
+
+
+def run_trainer(src, dst, args):
+    """Products-scale graph through the REAL Trainer (K=1, Vanilla):
+    LayerNorm + dropout + per-epoch eval + reference artifacts."""
+    from adaqp_tpu.helper.dataset import GraphData
+    from adaqp_tpu.trainer import RunConfig, Trainer
+
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(N, F)).astype(np.float32)
+    labels = rng.integers(0, C, N).astype(np.int32)
+    train = rng.random(N) < 0.1
+    rest = ~train
+    val = rest & (rng.random(N) < 0.3)
+    test = rest & ~val
+    g = GraphData(N, src, dst, feats, labels, train, val, test, C, False,
+                  f"prodsynth{N}")
+    cfg = RunConfig(
+        dataset=g.name,
+        num_parts=1,
+        partition_method="random",
+        num_epochs=args.epochs,
+        hidden_dim=args.hidden,
+        num_layers=args.layers,
+        mode="Vanilla",
+        log_steps=1,
+        measure_breakdown=False,
+        spmm_impl="block",
+        agg_dtype="bfloat16",
+        remat=args.remat,
+        block_min_edges=args.min_edges,
+        partition_dir=f"{CACHE}/trainer_parts",
+        exp_path=f"{CACHE}/trainer_exp",
+    )
+    t = Trainer(cfg, graph=g)
+    rec = t.train()
+    print("PRODUCTS_TRAINER_EPOCH_S", float(rec["per_epoch"]))
 
 
 if __name__ == "__main__":
