@@ -101,7 +101,7 @@ def _pad_tiles(lays, t_max):
         t = lay.masks.shape[0]
         pad = t_max - t
         masks.append(
-            np.concatenate([lay.masks, np.zeros((pad, BD, WORDS), np.int32)])
+            np.concatenate([lay.masks, np.zeros((pad, BD, WORDS), np.int16)])
         )
         ss.append(np.concatenate([lay.src_start, np.zeros(pad, np.int32)]))
         db.append(np.concatenate([lay.dst_blk, np.zeros(pad, np.int32)]))
@@ -164,8 +164,12 @@ def _stack_ells(lays, n_out: int):
 
 
 def build_block_shards(
-    layout: PartitionLayout, min_edges: int = MIN_EDGES
+    layout: PartitionLayout, min_edges: int = MIN_EDGES,
+    cache_prefix: Optional[str] = None,
 ) -> BlockShards:
+    """``cache_prefix`` enables the per-(shard, group) ``block_layout`` npz
+    cache — tile packing at 100M-edge scale costs ~15 host-minutes, which
+    otherwise recurs on every Trainer start."""
     l_max = layout.l_max
     r_pad = layout.plan_fwd.r_pad
     if l_max % 2048 or r_pad % 2048:
@@ -182,11 +186,15 @@ def build_block_shards(
         hs, hd = layout.fwd_halo[0][p], layout.fwd_halo[1][p]
         validh = hd < l_max
         hs, hd = hs[validh] - l_max, hd[validh]  # halo srcs stored Lmax+slot
-        mk = lambda s, d, n, n_src: block_layout(
+        mk = lambda s, d, n, n_src, name: block_layout(
             s.astype(np.int32), d.astype(np.int32), n,
             min_edges=min_edges, dedup=False, n_src=n_src,
+            cache_key=(
+                f"{cache_prefix}_me{min_edges}_p{p}_{name}"
+                if cache_prefix else None
+            ),
         )
-        groups["fwd_local"].append(mk(ls, ld, l_max, l_max))
+        groups["fwd_local"].append(mk(ls, ld, l_max, l_max, "fl"))
         # bidirected graphs: the local edge multiset is symmetric, so the
         # backward-local operator IS the forward one — alias instead of
         # building (and uploading) a second tile set. The reference does
@@ -194,9 +202,9 @@ def build_block_shards(
         # graphEngine.py:135-147); at products scale this halves the
         # bitmask HBM (~1.2 GB) and the host build time.
         if not layout.is_bidirected:
-            groups["bwd_local"].append(mk(ld, ls, l_max, l_max))
-        groups["fwd_halo"].append(mk(hs, hd, l_max, r_pad))
-        groups["bwd_halo"].append(mk(hd, hs, r_pad, l_max))
+            groups["bwd_local"].append(mk(ld, ls, l_max, l_max, "bl"))
+        groups["fwd_halo"].append(mk(hs, hd, l_max, r_pad, "fh"))
+        groups["bwd_halo"].append(mk(hd, hs, r_pad, l_max, "bh"))
     quads = {}
     widths_all = []
     ells_all = []

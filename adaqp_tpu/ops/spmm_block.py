@@ -39,7 +39,12 @@ from .spmm_fast import EllDevice, EllLayout, _run_ell, ell_from_csr
 
 BD = 256  # dst rows per tile
 BS = 2048  # src cols per tile
-WORDS = BS // 32
+# masks are packed in 16-bit halfwords so the minor dim is 128 lanes: XLA
+# tiles s32[..., 256, 64] as T(8,128) and PADS lanes 64->128 (2x HBM for
+# every tile set, measured 1.3 GB wasted at products scale); s16[..., 256,
+# 128] tiles as T(16,128) with zero padding at identical true bytes
+WORDS = BS // 16
+MASK_SCHEME = 2  # cache-format version (bump when the packing changes)
 # tiles below this go to the ELL straggler path; ~190 is the measured
 # in-situ breakeven (3.3 us/tile vs ~17 ns/gathered edge, EXPERIMENTS.md)
 MIN_EDGES = 192
@@ -56,7 +61,7 @@ class BlockLayout:
 
     n: int
     n_pad: int  # out rows padded to a BD multiple (BS multiple when square)
-    masks: np.ndarray  # int32 [T, BD, WORDS]
+    masks: np.ndarray  # int16 [T, BD, WORDS] (16-bit halfwords, 128 lanes)
     src_start: np.ndarray  # int32 [T]
     dst_blk: np.ndarray  # int32 [T]
     is_first: np.ndarray  # int32 [T] (first tile of its dst block)
@@ -125,7 +130,9 @@ def block_layout(
 
     if cache_key and os.path.exists(cache_key + ".npz"):
         z = np.load(cache_key + ".npz")
-        stale = int(z["has_straggler"]) and int(z.get("ell_scheme", 1)) != ELL_SCHEME
+        stale = int(z.get("mask_scheme", 1)) != MASK_SCHEME or (
+            int(z["has_straggler"]) and int(z.get("ell_scheme", 1)) != ELL_SCHEME
+        )
         if stale:
             z = None
     else:
@@ -187,12 +194,12 @@ def block_layout(
         sl = slice(tile_ptr[ti], tile_ptr[ti + 1])
         i = (dst_s[sl] - b_dst * BD).astype(np.int64)
         j = (src_s[sl] - b_src * BS).astype(np.int64)
-        m = np.zeros(BD * WORDS, np.uint32)
-        # column j lives at (word = j % WORDS, bit = j // WORDS): this layout
-        # matches pltpu.repeat's TILE (concatenate-copies) semantics, so the
-        # kernel expands with `bit = lane // WORDS` after repeating the words.
+        m = np.zeros(BD * WORDS, np.uint16)
+        # column j lives at (halfword = j % WORDS, bit = j // WORDS): this
+        # layout matches pltpu.repeat's TILE (concatenate-copies) semantics,
+        # so the kernel expands with `bit = lane // WORDS` after repeating.
         np.bitwise_or.at(
-            m, i * WORDS + j % WORDS, np.uint32(1) << (j // WORDS).astype(np.uint32)
+            m, i * WORDS + j % WORDS, np.uint16(1) << (j // WORDS).astype(np.uint16)
         )
         masks_list.append(m.reshape(BD, WORDS))
         src_start.append(b_src * BS)
@@ -201,14 +208,14 @@ def block_layout(
     # every dst block needs at least one (possibly empty) tile so the output
     # block gets zero-initialized
     for b in np.where(~covered)[0]:
-        masks_list.append(np.zeros((BD, WORDS), np.uint32))
+        masks_list.append(np.zeros((BD, WORDS), np.uint16))
         src_start.append(0)
         dst_blk.append(int(b))
     if not masks_list:  # completely empty graph
-        masks_list.append(np.zeros((BD, WORDS), np.uint32))
+        masks_list.append(np.zeros((BD, WORDS), np.uint16))
         src_start.append(0)
         dst_blk.append(0)
-    masks = np.stack(masks_list).view(np.int32)
+    masks = np.stack(masks_list).view(np.int16)
     src_start = np.asarray(src_start, np.int32)
     dst_blk = np.asarray(dst_blk, np.int32)
     order = np.argsort(dst_blk, kind="stable")
@@ -223,6 +230,7 @@ def block_layout(
             n=n, n_pad=n_pad, n_src_pad=n_src_pad, masks=masks,
             src_start=src_start, dst_blk=dst_blk, is_first=is_first,
             has_straggler=int(straggler is not None), ell_scheme=ELL_SCHEME,
+            mask_scheme=MASK_SCHEME,
         )
         if straggler is not None:
             save["ell_num_buckets"] = len(straggler.buckets)
@@ -267,11 +275,12 @@ def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win,
 
     dma(t, slot).wait()
 
-    words = mask_ref[0]  # [BD, WORDS] int32
+    words = mask_ref[0]  # [BD, WORDS] int16 halfwords
     # pltpu.repeat has TILE semantics: element at lane l holds
-    # word[l % WORDS]; the host packs column j at (word j % WORDS,
-    # bit j // WORDS), so the bit index here is lane // WORDS.
-    rep = pltpu.repeat(words, 32, axis=1)
+    # halfword[l % WORDS]; the host packs column j at (halfword j % WORDS,
+    # bit j // WORDS), so the bit index here is lane // WORDS. The i32
+    # sign-extension is harmless: bits 0..15 are unchanged under it.
+    rep = pltpu.repeat(words, 16, axis=1).astype(jnp.int32)
     bit = jax.lax.broadcasted_iota(jnp.int32, (BD, BS), 1) // WORDS
     a = ((rep >> bit) & 1).astype(jnp.float32).astype(jnp.bfloat16)
 
@@ -340,10 +349,10 @@ def _run_block_jnp(layout: BlockDevice, h: jnp.ndarray) -> jnp.ndarray:
     assert h.shape[0] == layout.n_src_pad
     out = jnp.zeros((layout.n_pad, f), jnp.float32)
     t = layout.masks.shape[0]
+    words = layout.masks.astype(jnp.int32) & 0xFFFF  # undo sign-extension
     bits = (
-        layout.masks[..., None].astype(jnp.uint32)
-        >> jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
-    ) & 1  # [T, BD, WORDS, 32]; column j = bit * WORDS + word
+        words[..., None] >> jnp.arange(16, dtype=jnp.int32)[None, None, None, :]
+    ) & 1  # [T, BD, WORDS, 16]; column j = bit * WORDS + halfword
     a = bits.transpose(0, 1, 3, 2).reshape(t, BD, BS).astype(jnp.float32)
     for i in range(t):
         start = layout.src_start[i]

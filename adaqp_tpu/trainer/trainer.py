@@ -123,7 +123,12 @@ class Trainer:
             spec = jax.sharding.NamedSharding(self.mesh, P("part"))
             self.blocks = jax.tree.map(
                 lambda x: put_global(x, spec),
-                build_block_shards(self.layout, min_edges=cfg.block_min_edges),
+                build_block_shards(
+                    self.layout, min_edges=cfg.block_min_edges,
+                    # reuse the layout cache's identity: tile packing at
+                    # 100M-edge scale costs ~15 host-minutes per start
+                    cache_prefix=lay_cache + "_blk",
+                ),
             )
         self.static = static_from_layout(
             self.layout,
