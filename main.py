@@ -54,6 +54,10 @@ def parse_args():
     p.add_argument("--static_wire", type=int, default=None, choices=[0, 1],
                    help="pow2 wire capacities (reassignment reuses the "
                         "compiled step); default: on for TPU")
+    p.add_argument("--remat", type=int, default=None, choices=[0, 1],
+                   help="rematerialize GNN layers in backward (fits "
+                        "larger graphs/widths per chip at ~1 extra "
+                        "aggregation pass)")
     p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--resume", action="store_true", default=None)
     return p.parse_args()
@@ -64,6 +68,8 @@ def main():
     overrides = {k: v for k, v in vars(args).items() if k != "dataset"}
     if overrides.get("static_wire") is not None:
         overrides["static_wire"] = bool(overrides["static_wire"])
+    if overrides.get("remat") is not None:
+        overrides["remat"] = bool(overrides["remat"])
     cfg = RunConfig.from_yaml(args.dataset, overrides)
     trainer = Trainer(cfg)
     records = trainer.train()

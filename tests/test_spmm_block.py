@@ -73,6 +73,29 @@ def test_every_dst_block_covered(rng):
     assert np.abs(got[BD:]).max() == 0
 
 
+def test_mask_layout_is_lane_aligned(rng):
+    # masks must keep a 128-element minor dim (int16 halfwords): an s32
+    # [.., 256, 64] form gets lane-padded 64->128 by XLA's T(8,128) tiling
+    # — 2x mask HBM (1.3 GB wasted at products scale; docs/DESIGN.md §1)
+    _, _, lay, _ = _case(rng, 3000, 50000, 8, min_edges=1)
+    assert lay.masks.dtype == np.int16
+    assert lay.masks.shape[1:] == (BD, 128)
+    assert BS == 128 * 16  # halfword = j % 128, bit = j // 128
+
+
+def test_bf16_input_keeps_dtype_and_f32_accumulation(rng):
+    # output dtype follows h.dtype; accumulation stays f32 (a bf16-stepped
+    # running sum over many tiles would drift far beyond one output round)
+    src, dst, lay, h = _case(rng, 3000, 50000, 32, min_edges=1)
+    hb = jnp.asarray(h).astype(jnp.bfloat16)
+    got = run_block(lay.to_device(), hb, use_pallas=False)
+    assert got.dtype == jnp.bfloat16
+    ref = _ref(src, dst, np.asarray(hb, np.float32), lay.n_pad, 3000)
+    err = np.abs(np.asarray(got, np.float32) - ref)
+    # one bf16 rounding of the f32-exact result: |err| <= 2^-8 * |ref|
+    assert (err <= np.abs(ref) * 2.0**-8 + 1e-6).all()
+
+
 def test_cache_roundtrip(tmp_path, rng):
     src, dst, lay, h = _case(rng, 1500, 8000, 8, min_edges=100)
     key = str(tmp_path / "blk")
