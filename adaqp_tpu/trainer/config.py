@@ -67,6 +67,9 @@ class RunConfig:
     # rematerialize GNN layers in backward (memory for recompute; lets
     # products-scale hidden 256 train under the full runtime on one chip)
     remat: bool = False
+    # log the compiled train step's device-memory footprint (temps/args)
+    # before the first step — sizing aid for large graphs
+    log_hbm: bool = False
     # checkpoint / resume (capability absent in the reference, SURVEY.md §5)
     ckpt_every: int = 0  # epochs between checkpoints; 0 = off
     ckpt_dir: str = "checkpoints"

@@ -383,6 +383,35 @@ class Trainer:
         # step, so XLA can update them in place instead of double-buffering
         return jax.jit(step, donate_argnums=(0, 1, 4, 5))
 
+    def _log_hbm_analysis(self):
+        """AOT-compile the current train step and log its device-memory
+        footprint (XLA memory analysis) — a sizing aid for fitting large
+        graphs per chip; the persistent compilation cache makes the real
+        first step reuse this compile. Capability absent in the reference
+        (its OOMs surface only as CUDA allocator errors)."""
+        try:
+            wire = self.wire_dev if self.mode.quantized else self.wire_fp_dev
+            lowered = self._train_step.lower(
+                self.params, self.opt_state, self.sh, jax.random.PRNGKey(0),
+                self.trace_fwd, self.trace_bwd, self.buckets_dev,
+                self.blocks, wire,
+            )
+            ma = lowered.compile().memory_analysis()
+            if ma is None:
+                logger.info("hbm analysis unavailable on this backend")
+                return
+            gib = 2.0**30
+            logger.info(
+                "train-step HBM: temps %.2f GiB | args %.2f GiB | "
+                "output %.2f GiB | code %.3f GiB",
+                ma.temp_size_in_bytes / gib,
+                ma.argument_size_in_bytes / gib,
+                ma.output_size_in_bytes / gib,
+                ma.generated_code_size_in_bytes / gib,
+            )
+        except Exception as exc:  # best-effort diagnostics
+            logger.warning("hbm analysis failed: %s", exc)
+
     def _make_eval_step(self):
         cfg = self.static
 
@@ -613,6 +642,8 @@ class Trainer:
         start_epoch = self._maybe_resume() if cfg.resume else 0
         self._built_wire_sig = self._wire_sig()
         self._train_step = self._make_train_step()
+        if cfg.log_hbm:
+            self._log_hbm_analysis()
         eval_step = self._make_eval_step()
         key = jax.random.PRNGKey(cfg.seed)
         t_train0 = time.perf_counter()

@@ -58,6 +58,9 @@ def parse_args():
                    help="rematerialize GNN layers in backward (fits "
                         "larger graphs/widths per chip at ~1 extra "
                         "aggregation pass)")
+    p.add_argument("--log_hbm", action="store_true", default=None,
+                   help="log the compiled train step's device-memory "
+                        "footprint before the first step")
     p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--resume", action="store_true", default=None)
     return p.parse_args()

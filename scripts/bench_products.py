@@ -168,6 +168,7 @@ def run_trainer(src, dst, args):
         spmm_impl="block",
         agg_dtype="bfloat16",
         remat=args.remat,
+        log_hbm=True,  # surface the footprint this scale runs up against
         block_min_edges=args.min_edges,
         partition_dir=f"{CACHE}/trainer_parts",
         exp_path=f"{CACHE}/trainer_exp",
