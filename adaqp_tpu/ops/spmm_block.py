@@ -280,7 +280,9 @@ def _block_kernel(f: int, ss_ref, fi_ref, db_ref, mask_ref, h_ref, out_ref, win,
     # halfword[l % WORDS]; the host packs column j at (halfword j % WORDS,
     # bit j // WORDS), so the bit index here is lane // WORDS. The i32
     # sign-extension is harmless: bits 0..15 are unchanged under it.
-    rep = pltpu.repeat(words, 16, axis=1).astype(jnp.int32)
+    # Widen BEFORE the repeat: converting [BD, WORDS] costs 16x fewer
+    # lanes than converting the expanded [BD, BS].
+    rep = pltpu.repeat(words.astype(jnp.int32), 16, axis=1)
     bit = jax.lax.broadcasted_iota(jnp.int32, (BD, BS), 1) // WORDS
     a = ((rep >> bit) & 1).astype(jnp.float32).astype(jnp.bfloat16)
 
