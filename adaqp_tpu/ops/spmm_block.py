@@ -158,6 +158,13 @@ def block_layout(
     if dedup:
         nn = max(n, n_src)
         src, dst = _dedup(src, dst, nn)
+    elif len(src) and len(np.unique(src.astype(np.int64) * n + dst)) != len(src):
+        # a bitmask cannot represent edge multiplicity; silently dropping
+        # duplicates would diverge from the segment path's semantics
+        raise ValueError(
+            "block layout requires a simple graph (duplicate edges found); "
+            "deduplicate upstream or pass dedup=True"
+        )
     n_pad = -(-n // BS) * BS if square else -(-n // BD) * BD
     n_src_pad = n_pad if square else -(-n_src // BS) * BS
     tb = dst.astype(np.int64) // BD

@@ -35,6 +35,60 @@ def test_block_matches_segment_loss_curve(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+def _directed_graph(seed=7, n=500, e=5000, f=128, classes=4):
+    from adaqp_tpu.helper.dataset import GraphData, normalize_self_loops
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    keep = (src < dst) | (rng.random(e) < 0.1)  # deliberately asymmetric
+    src, dst = normalize_self_loops(src[keep], dst[keep], n)
+    # simple graph: bitmask tiles cannot represent edge multiplicity (all
+    # reference datasets are simple; spmm_block.py module docstring)
+    key = np.unique(src.astype(np.int64) * n + dst)
+    src = (key // n).astype(np.int32)
+    dst = (key % n).astype(np.int32)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    labels = rng.integers(0, classes, n).astype(np.int32)
+    masks = [np.zeros(n, bool) for _ in range(3)]
+    order = rng.permutation(n)
+    masks[0][order[: n // 2]] = True
+    masks[1][order[n // 2 : 3 * n // 4]] = True
+    masks[2][order[3 * n // 4 :]] = True
+    g = GraphData(n, src, dst, feats, labels, *masks, classes, False,
+                  f"dirblk{seed}")
+    assert not g.is_bidirected
+    return g
+
+
+def test_block_matches_segment_directed(tmp_path):
+    # directed graphs take the NON-aliased bwd_local branch (bidirected
+    # graphs reuse fwd_local in-trace); gradients must still match the
+    # segment path exactly
+    g = _directed_graph()
+
+    def run(impl):
+        cfg = RunConfig.from_yaml(
+            "sbm",
+            {
+                "num_parts": 4, "num_epochs": 6, "hidden_dim": 16,
+                "mode": "Vanilla", "dropout_rate": 0.0, "log_steps": 100,
+                "partition_dir": str(tmp_path / f"pd_{impl}"),
+                "exp_path": str(tmp_path / f"ed_{impl}"),
+                "spmm_impl": impl,
+            },
+        )
+        t = Trainer(cfg, graph=g)
+        return t, t.train()
+
+    t1, r1 = run("segment")
+    t2, r2 = run("block")
+    assert t2.blocks.bwd_local is not None  # the branch under test
+    np.testing.assert_allclose(r1["val_curve"], r2["val_curve"], atol=1e-4)
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
 def test_block_shards_mixed_tiles_match(tmp_path):
     # force a MIX of bitmask tiles and ELL stragglers (min_edges between the
     # densest and sparsest tile) and check the distributed block aggregation
