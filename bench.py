@@ -53,25 +53,60 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def unique_banded_keys(n, target, rng, log=lambda *a: None):
+    """``target`` UNIQUE directed non-loop edges as int64 keys src*n+dst:
+    zipf-banded rounds (locality + heavy tail) topped up with uniform
+    random pairs once the small-delta band saturates."""
+    keys = np.empty(0, np.int64)
+    for rnd in range(8):
+        short = target - len(keys)
+        if short <= 0:
+            break
+        m = int(short * 1.6) + 1024
+        src = rng.integers(0, n, m, dtype=np.int64)
+        delta = np.minimum(rng.zipf(1.3, m).astype(np.int64), n // 2)
+        sign = rng.integers(0, 2, m, dtype=np.int64) * 2 - 1
+        dst = (src + sign * delta) % n
+        before = len(keys)
+        keys = np.unique(np.concatenate([keys, src * n + dst]))
+        log(f"  zipf round {rnd}: {len(keys)/1e6:.1f}M unique")
+        if len(keys) - before < short // 20:  # band saturated
+            break
+    while len(keys) < target:  # uniform top-up: collisions are rare
+        short = target - len(keys)
+        m = int(short * 1.3) + 1024
+        src = rng.integers(0, n, m, dtype=np.int64)
+        dst = rng.integers(0, n, m, dtype=np.int64)
+        k = (src * n + dst)[src != dst]
+        keys = np.unique(np.concatenate([keys, k]))
+        log(f"  uniform top-up: {len(keys)/1e6:.1f}M unique")
+    if len(keys) > target:  # trim a random subset, not a sorted prefix
+        keep = rng.permutation(len(keys))[:target]
+        keys = keys[np.sort(keep)]
+    return keys
+
+
 def synth_reddit(n, e, f, c, seed=0):
-    """Banded small-world + heavy-tail graph at Reddit scale."""
-    cache = os.path.join(CACHE_DIR, f"synthreddit_{n}_{e}_{f}.npz")
+    """Banded small-world + heavy-tail graph at Reddit scale.
+
+    All ``e`` edges are UNIQUE directed pairs (incl. one self-loop per
+    node) — real Reddit's 114.6M directed edges are unique, and the
+    bitmask tiles aggregate the deduplicated graph, so a multigraph here
+    would silently understate the aggregation work (the round-1/2 "u"-less
+    cache had only 41.7M unique pairs)."""
+    cache = os.path.join(CACHE_DIR, f"synthreddit_u_{n}_{e}_{f}.npz")
     if os.path.exists(cache):
         log(f"loading cached bench graph {cache}")
         z = np.load(cache)
         return z["src"], z["dst"], z["feats"], z["labels"], z["train_mask"]
-    log(f"generating bench graph n={n} e={e} (one-time, cached)")
+    log(f"generating bench graph n={n} e={e} unique (one-time, cached)")
     rng = np.random.default_rng(seed)
-    e_rand = e - n  # reserve self-loops
-    src = rng.integers(0, n, e_rand, dtype=np.int64)
-    # zipf-distributed ring offsets: banded locality with a heavy tail
-    delta = rng.zipf(1.3, e_rand).astype(np.int64)
-    delta = np.minimum(delta, n // 2)
-    sign = rng.integers(0, 2, e_rand, dtype=np.int64) * 2 - 1
-    dst = (src + sign * delta) % n
-    loop = np.arange(n, dtype=np.int64)
-    src = np.concatenate([src, loop]).astype(np.int32)
-    dst = np.concatenate([dst, loop]).astype(np.int32)
+    keys = unique_banded_keys(n, e - n, rng, log)  # reserve self-loops
+    src = (keys // n).astype(np.int32)
+    dst = (keys % n).astype(np.int32)
+    loop = np.arange(n, dtype=np.int32)
+    src = np.concatenate([src, loop])
+    dst = np.concatenate([dst, loop])
     order = np.argsort(dst, kind="stable")
     src, dst = src[order], dst[order]
     feats = rng.normal(size=(n, f)).astype(np.float32)
@@ -88,8 +123,8 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
 
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
     log(f"building bitmask block layout (host, one-time), min_edges={min_edges}")
-    key = os.path.join(CACHE_DIR, f"blk_{n}_{e}")
-    if min_edges != 512:  # keep round-1 cache names valid for the default
+    key = os.path.join(CACHE_DIR, f"blk_u_{n}_{e}")
+    if min_edges != 512:
         key += f"_me{min_edges}"
     fwd = block_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
     bwd = block_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
@@ -204,7 +239,7 @@ def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype,
     test = rest & ~val
     g = GraphData(
         n, src, dst, feats, labels, train_mask, val, test, c, False,
-        f"benchreddit{n}",
+        f"benchreddit{n}u",  # "u": unique-edge graph (distinct cache identity)
     )
     cfg = RunConfig(
         dataset=g.name,

@@ -48,18 +48,35 @@ def main():
     if args.layers < 2:
         p.error("--layers must be >= 2 (input + output projections)")
 
-    key = f"{CACHE}/prod_{N}"
+    # "u": all directed pairs UNIQUE (ogbn-products' real edge list is a
+    # simple graph; a zipf multigraph here silently understated the work —
+    # the earlier prod_{N} cache held only 79.4M unique of 123.7M)
+    key = f"{CACHE}/prod_u_{N}"
     if os.path.exists(key + "_edges.npz"):
         z = np.load(key + "_edges.npz")
         src, dst = z["src"], z["dst"]
     else:
+        from bench import unique_banded_keys
+
         rng = np.random.default_rng(0)
         half = (E_TARGET - N) // 2
-        s0 = rng.integers(0, N, half, dtype=np.int64)
-        delta = np.minimum(rng.zipf(1.3, half), N // 2)
-        d0 = (s0 + (rng.integers(0, 2, half) * 2 - 1) * delta) % N
-        src = np.concatenate([s0, d0, np.arange(N, dtype=np.int64)]).astype(np.int32)
-        dst = np.concatenate([d0, s0, np.arange(N, dtype=np.int64)]).astype(np.int32)
+        keys = unique_banded_keys(N, 2 * half, rng, print)
+        s0, d0 = keys // N, keys % N
+        canon = np.unique(np.minimum(s0, d0) * N + np.maximum(s0, d0))
+        # symmetrize canonical pairs; top up to exactly `half` of them
+        while len(canon) < half:
+            extra = unique_banded_keys(
+                N, 2 * (half - len(canon)), rng, print
+            )
+            es, ed = extra // N, extra % N
+            canon = np.unique(np.concatenate(
+                [canon, np.minimum(es, ed) * N + np.maximum(es, ed)]
+            ))
+        canon = canon[np.sort(rng.permutation(len(canon))[:half])]
+        s0, d0 = canon // N, canon % N
+        loop = np.arange(N, dtype=np.int64)
+        src = np.concatenate([s0, d0, loop]).astype(np.int32)
+        dst = np.concatenate([d0, s0, loop]).astype(np.int32)
         os.makedirs(CACHE, exist_ok=True)
         np.savez(key + "_edges.npz", src=src, dst=dst)
     print(f"edges: {len(src) / 1e6:.1f}M", flush=True)
@@ -154,7 +171,7 @@ def run_trainer(src, dst, args):
     val = rest & (rng.random(N) < 0.3)
     test = rest & ~val
     g = GraphData(N, src, dst, feats, labels, train, val, test, C, False,
-                  f"prodsynth{N}")
+                  f"prodsynth{N}u")
     cfg = RunConfig(
         dataset=g.name,
         num_parts=1,
