@@ -11,10 +11,20 @@ dominant cost on the unique-edge graph) can ride it.
 All timings inside ONE jit (lax.fori_loop) — the axon tunnel costs
 ~28 ms per dispatch, which would swamp microsecond kernels.
 """
+import os
 import sys
 import time
 
 import jax
+
+# the axon plugin wins over the JAX_PLATFORMS env var alone; honor the env
+# explicitly so CPU smoke runs don't touch the TPU tunnel
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +34,8 @@ from adaqp_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache()
 
 R, F = 4096, 256
-ITERS = 200
+ITERS = int(os.environ.get("GB_ITERS", "200"))
+INTERPRET = bool(int(os.environ.get("GB_INTERPRET", "0")))
 
 
 def time_fn(fn, *args):
@@ -72,12 +83,12 @@ def main():
         try:
             fn = pl.pallas_call(
                 mk_kernel(ITERS),
-                out_shape=jax.ShapeDtypeStruct((R, F), xx.dtype),
+                out_shape=jax.ShapeDtypeStruct((R, F), xx.dtype), interpret=INTERPRET,
             )
             t = time_fn(lambda a, b: fn(a, b), xx, idx_full)
             # correctness (single iteration)
             one = pl.pallas_call(
-                mk_kernel(1), out_shape=jax.ShapeDtypeStruct((R, F), xx.dtype)
+                mk_kernel(1), out_shape=jax.ShapeDtypeStruct((R, F), xx.dtype), interpret=INTERPRET
             )(xx, idx_full)
             ref = np.take_along_axis(np.asarray(xx, np.float32),
                                      np.asarray(idx_full), 0)
@@ -98,13 +109,98 @@ def main():
             )
             fn = pl.pallas_call(
                 mk_kernel(ITERS),
-                out_shape=jax.ShapeDtypeStruct((depth, F), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((depth, F), jnp.float32), interpret=INTERPRET,
             )
             t = time_fn(lambda a, b: fn(a, b), xx, ii)
             print(f"pallas dyn_gather   [{depth},{F}] f32 : {t*1e6:8.1f} us/iter "
                   f"({t/depth*1e9:.1f} ns/row)")
         except Exception as e:
             print(f"pallas dyn_gather depth={depth}: FAILED: {str(e)[:160]}")
+
+    # --- The compact-tile kernel's exact primitive: SQUARE window
+    # permutation. Mosaic's gather lowering requires x/idx/out to share one
+    # shape (lowering.py:2482-2493), so a group of 8 compact subtiles
+    # gathers its 8x256 virtual columns as ONE [2048, F] take_along_axis
+    # from the resident [2048, F] window. Probe both axes:
+    #   axis=0 (sublane gather, window [2048, F] as stored today)
+    #   axis=1 (lane gather, transposed window [F, 2048])
+    # and both idx forms: prebuilt full [.., ..] (upper bound) vs built
+    # in-kernel from a 1-D column list (what the real kernel must do).
+    def mk_sq(iters, axis, inkernel_idx):
+        def kern(x_ref, idx_ref, o_ref):
+            xw = x_ref[...]
+            if inkernel_idx:
+                v = idx_ref[...]  # [1, D] i32
+                if axis == 0:
+                    idx = jnp.broadcast_to(v.reshape(-1, 1), xw.shape)
+                else:
+                    idx = jnp.broadcast_to(v, xw.shape)
+            else:
+                idx = idx_ref[...]
+
+            def body(k, acc):
+                return acc + jnp.take_along_axis(xw, idx, axis=axis)
+
+            o_ref[...] = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(xw))
+        return kern
+
+    D = 2048
+    for ff in (256, 640):
+        for axis in (0, 1):
+            shape = (D, ff) if axis == 0 else (ff, D)
+            xx = jnp.asarray(
+                rng.normal(size=shape).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            col = rng.integers(0, D, D).astype(np.int32)
+            for inkernel, iname in ((False, "full-idx"), (True, "1d-idx")):
+                if inkernel:
+                    ii = jnp.asarray(col)[None, :]
+                else:
+                    ii = jnp.asarray(col)
+                    ii = (
+                        jnp.broadcast_to(ii[:, None], shape)
+                        if axis == 0
+                        else jnp.broadcast_to(ii[None, :], shape)
+                    )
+                try:
+                    fn = pl.pallas_call(
+                        mk_sq(ITERS, axis, inkernel),
+                        out_shape=jax.ShapeDtypeStruct(shape, jnp.bfloat16),
+                        interpret=INTERPRET,
+                    )
+                    t = time_fn(lambda a, b: fn(a, b), xx, ii)
+                    one = pl.pallas_call(
+                        mk_sq(1, axis, inkernel),
+                        out_shape=jax.ShapeDtypeStruct(shape, jnp.bfloat16),
+                        interpret=INTERPRET,
+                    )(xx, ii)
+                    ref = np.take_along_axis(
+                        np.asarray(xx, np.float32),
+                        np.broadcast_to(
+                            col[:, None] if axis == 0 else col[None, :], shape
+                        ),
+                        axis,
+                    )
+                    ok = np.allclose(np.asarray(one, np.float32), ref, atol=1e-2)
+                    print(
+                        f"window perm ax={axis} {iname:8s} [{shape[0]},{shape[1]}] "
+                        f"bf16: {t*1e6:8.2f} us/iter ({t/D*1e9:.2f} ns/vcol) "
+                        f"correct={ok}"
+                    )
+                except Exception as e:
+                    print(
+                        f"window perm ax={axis} {iname} F={ff}: FAILED: "
+                        f"{type(e).__name__}: {str(e)[:200]}"
+                    )
+
+    # --- XLA gather F sweep (descriptor- vs bandwidth-bound check at the
+    # tail's real widths)
+    for ff in (256, 640):
+        xx = jnp.asarray(rng.normal(size=(R, ff)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        t = time_fn(xla_gather, xx, idx_rows)
+        print(f"XLA row gather      [{R},{ff}] bf16: {t*1e6:8.1f} us/iter "
+              f"({t/R*1e9:.1f} ns/row)")
 
 
 if __name__ == "__main__":
