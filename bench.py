@@ -118,25 +118,53 @@ def synth_reddit(n, e, f, c, seed=0):
 
 
 def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
-              min_edges=512):
-    from adaqp_tpu.ops.spmm_block import block_layout, spmm_block
-
+              min_edges=512, impl="block", me_ell=64, full_cols=1024):
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
-    log(f"building bitmask block layout (host, one-time), min_edges={min_edges}")
-    key = os.path.join(CACHE_DIR, f"blk_u_{n}_{e}")
-    if min_edges != 512:
-        key += f"_me{min_edges}"
-    fwd = block_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
-    bwd = block_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
+    if impl == "compact":
+        if jax.devices()[0].platform != "tpu":
+            # the portable fallback unrolls one jit op per work item — at
+            # bench scale that is an hours-long CPU trace, not a benchmark
+            raise SystemExit("--impl compact requires the TPU backend")
+        from adaqp_tpu.ops.spmm_compact import compact_layout
+        from adaqp_tpu.ops.spmm_compact import spmm_compact as spmm_kernel
+
+        log(f"building compact layout (host, one-time), me_ell={me_ell} "
+            f"full_cols={full_cols}")
+        key = os.path.join(CACHE_DIR, f"cmp_u_{n}_{e}_me{me_ell}_fc{full_cols}")
+        fwd = compact_layout(
+            src, dst, n, me_ell=me_ell, full_cols=full_cols,
+            cache_key=key + "_fwd",
+        )
+        bwd = compact_layout(
+            dst, src, n, me_ell=me_ell, full_cols=full_cols,
+            cache_key=key + "_bwd",
+        )
+        log(f"items fwd={fwd.masks.shape[0]} (full={int((fwd.kind==0).sum())} "
+            f"group={int((fwd.kind==1).sum())}) bwd={bwd.masks.shape[0]} "
+            f"ell_fwd={'y' if fwd.straggler else 'n'}")
+        # compact F-chunking wants F divisible by 384 or 256 (spmm_compact
+        # _f_chunk): pad features 602 -> 768 rather than riding 5x128 chunks
+        feat_mult = 384
+    else:
+        from adaqp_tpu.ops.spmm_block import block_layout
+        from adaqp_tpu.ops.spmm_block import spmm_block as spmm_kernel
+
+        log(f"building bitmask block layout (host, one-time), min_edges={min_edges}")
+        key = os.path.join(CACHE_DIR, f"blk_u_{n}_{e}")
+        if min_edges != 512:
+            key += f"_me{min_edges}"
+        fwd = block_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
+        bwd = block_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
+        log(f"tiles fwd={fwd.masks.shape[0]} bwd={bwd.masks.shape[0]}")
+        feat_mult = 128
     n_pad = fwd.n_pad
-    log(f"tiles fwd={fwd.masks.shape[0]} bwd={bwd.masks.shape[0]} n_pad={n_pad}")
 
     deg_in = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float32)
     deg_out = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float32)
 
     # pad rows to the tile grid and features to the lane multiple the Pallas
-    # kernel needs
-    f_pad = -(-f // 128) * 128
+    # kernel needs (compact: an F-chunk multiple, see above)
+    f_pad = -(-f // feat_mult) * feat_mult
     feats_p = np.zeros((n_pad, f_pad), np.float32)
     feats_p[:n, :f] = feats
     rs_in = np.ones(n_pad, np.float32)
@@ -185,7 +213,7 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
     def loss_fn(params, dev, fwd_dev, bwd_dev):
         def agg(h):
             hs = (h * dev["rs_out"][:, None]).astype(agg_dtype)
-            out = spmm_block(fwd_dev, hs, bwd_dev, use_pallas).astype(jnp.float32)
+            out = spmm_kernel(fwd_dev, hs, bwd_dev, use_pallas).astype(jnp.float32)
             return out * dev["rs_in"][:, None]
 
         h = dev["feats"]
@@ -272,6 +300,15 @@ def main():
     # tile-vs-ELL split threshold: in-situ tile cost ~3.3us and ELL gather
     # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
     p.add_argument("--min_edges", type=int, default=192)
+    p.add_argument("--impl", type=str, default="block",
+                   choices=["block", "compact"],
+                   help="raw-loop aggregation kernel (compact = v2 "
+                        "window-reuse + column-compaction kernel)")
+    p.add_argument("--me_ell", type=int, default=64,
+                   help="compact: regions below this edge count go to ELL")
+    p.add_argument("--full_cols", type=int, default=1024,
+                   help="compact: regions above this occupied-column count "
+                        "stay full-bitmask")
     p.add_argument("--model", type=str, default="gcn", choices=["gcn", "sage"],
                    help="trainer-mode model family")
     args = p.parse_args()
@@ -298,7 +335,8 @@ def main():
         val = run_bench(
             n, e, f, c, hidden, layers, args.epochs,
             edge_chunk=1 << 18, agg_dtype=jnp.dtype(args.agg_dtype),
-            min_edges=args.min_edges,
+            min_edges=args.min_edges, impl=args.impl,
+            me_ell=args.me_ell, full_cols=args.full_cols,
         )
         metric = "reddit_full_epoch_s" if not args.quick else "quick_epoch_s"
     vs = BASELINE_EPOCH_S / val if not args.quick else 0.0

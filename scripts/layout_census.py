@@ -122,13 +122,100 @@ def model(cen, bd, bs, f, min_edges, vmem_gather_ns, label):
     return cur, fused, compact
 
 
+def region_stats(src, dst, n):
+    """One pass over the edges -> per-region (uniq keys, edge counts,
+    occupied-column counts) for the spmm_compact geometry."""
+    bd, bs, sb = 256, 2048, 8
+    n_pad = -(-n // (sb * bd)) * (sb * bd)
+    nw = n_pad // bs
+    blk = dst.astype(np.int64) // bd
+    win = src.astype(np.int64) // bs
+    region = blk * nw + win
+    region_s = np.sort(region)
+    uniq, start = np.unique(region_s, return_index=True)
+    counts = np.diff(np.append(start, len(region_s)))
+    ck = np.unique(region * np.int64(n_pad) + src)
+    _, cstart = np.unique(ck // n_pad, return_index=True)
+    cols = np.diff(np.append(cstart, len(ck)))
+    return uniq, counts, cols, nw
+
+
+def model_group_kernel(
+    stats, f, me_ell, full_cols, vg_ns, expand_us=0.65,
+    hbm_gather_ns=HBM_GATHER_NS,
+):
+    """Exact cost model of the spmm_compact group kernel (BD=256, BS=2048,
+    GROUP=8, CSUB=256) including dummy-slot padding in partially-filled
+    groups. ``vg_ns`` = per-virtual-column cost of the square [2048, F]
+    window permutation at this F (measure with scripts/microbench_gather).
+    Returns (seconds_per_pass, stats dict)."""
+    bd, bs, csub, group, sb = 256, 2048, 256, 8, 8
+    uniq, counts, cols, nw = stats
+
+    ell = counts < me_ell
+    full = (~ell) & (cols > full_cols)
+    comp = (~ell) & (~full)
+    subtiles = np.ceil(cols[comp] / csub).astype(np.int64)
+    # groups are packed within (strip, window): count per-pair subtiles
+    strip = (uniq // nw) // sb
+    wid = uniq % nw
+    pair = strip * nw + wid
+    pair_sub = np.zeros(0, np.int64)
+    if comp.any():
+        order = np.argsort(pair[comp], kind="stable")
+        ps = pair[comp][order]
+        st = subtiles[order]
+        _, pstart = np.unique(ps, return_index=True)
+        pair_sub = np.add.reduceat(st, pstart)
+    groups = int(np.ceil(pair_sub / group).sum())
+
+    t_mxu_full = bd * bs * f * 2 / PEAK_BF16
+    t_mxu_sub = bd * csub * f * 2 / PEAK_BF16
+    t_gather = bs * vg_ns * 1e-9 * (f / 256) ** 0.0  # vg measured per F
+    t_expand = expand_us * 1e-6
+    cost = (
+        full.sum() * (t_mxu_full + t_expand)
+        + groups * (t_gather + t_expand + group * t_mxu_sub)
+        + counts[ell].sum() * hbm_gather_ns * 1e-9
+    )
+    # window DMA (overlapped; reported to check it stays under compute)
+    pairs_used = len(np.unique(pair[~ell]))
+    dma = pairs_used * bs * f * 2 / HBM_BW
+    stats = dict(
+        full=int(full.sum()), groups=groups,
+        subtiles=int(subtiles.sum()),
+        fill=float(subtiles.sum() / max(groups * group, 1)),
+        ell_edges=int(counts[ell].sum()), pairs=pairs_used,
+        dma_ms=dma * 1e3,
+    )
+    return max(cost, dma), stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--products", action="store_true")
     ap.add_argument("--strip_rows", type=int, default=2048)
+    ap.add_argument("--group_model", action="store_true",
+                    help="sweep the exact spmm_compact cost model only")
     args = ap.parse_args()
     src, dst, n = load_graph(args.products)
     print(f"graph: n={n} e={len(src)/1e6:.1f}M unique directed")
+
+    if args.group_model:
+        stats = region_stats(src, dst, n)
+        for f in (768, 256):
+            print(f"--- spmm_compact exact model, F={f} ---")
+            for vg in (1.0, 2.0, 4.0, 8.0, 16.0):
+                for me_ell, fc in ((32, 1024), (64, 1024), (64, 1536),
+                                   (128, 1024), (192, 1536)):
+                    t, s = model_group_kernel(stats, f, me_ell, fc, vg)
+                    print(
+                        f"  vg={vg:4.1f}ns me_ell={me_ell:3d} fc={fc:4d}: "
+                        f"{t*1e3:7.1f}ms  full={s['full']:6d} "
+                        f"groups={s['groups']:6d} fill={s['fill']:.2f} "
+                        f"ell={s['ell_edges']/1e6:5.2f}M dma={s['dma_ms']:.0f}ms"
+                    )
+        return
 
     for bd, bs in [(256, 2048), (256, 1024), (256, 512), (512, 2048), (128, 512)]:
         cen = census(src, dst, n, bd, bs, args.strip_rows)
