@@ -120,13 +120,13 @@ def synth_reddit(n, e, f, c, seed=0):
 def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
               min_edges=512, impl="block", me_ell=64, full_cols=1024):
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
-    if impl == "compact":
+    cmp_pair = blk_pair = None
+    if impl in ("compact", "mixed"):
         if jax.devices()[0].platform != "tpu":
             # the portable fallback unrolls one jit op per work item — at
             # bench scale that is an hours-long CPU trace, not a benchmark
-            raise SystemExit("--impl compact requires the TPU backend")
+            raise SystemExit(f"--impl {impl} requires the TPU backend")
         from adaqp_tpu.ops.spmm_compact import compact_layout
-        from adaqp_tpu.ops.spmm_compact import spmm_compact as spmm_kernel
 
         log(f"building compact layout (host, one-time), me_ell={me_ell} "
             f"full_cols={full_cols}")
@@ -145,9 +145,9 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         # compact F-chunking wants F divisible by 384 or 256 (spmm_compact
         # _f_chunk): pad features 602 -> 768 rather than riding 5x128 chunks
         feat_mult = 384
-    else:
+        cmp_pair = (fwd, bwd)
+    if impl in ("block", "mixed"):
         from adaqp_tpu.ops.spmm_block import block_layout
-        from adaqp_tpu.ops.spmm_block import spmm_block as spmm_kernel
 
         log(f"building bitmask block layout (host, one-time), min_edges={min_edges}")
         key = os.path.join(CACHE_DIR, f"blk_u_{n}_{e}")
@@ -156,8 +156,15 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         fwd = block_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
         bwd = block_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
         log(f"tiles fwd={fwd.masks.shape[0]} bwd={bwd.masks.shape[0]}")
+        # mixed: layer-0 aggregates at F=640 via the block kernel; hidden
+        # (256-wide) passes ride compact — no 768 feature padding needed
         feat_mult = 128
+        blk_pair = (fwd, bwd)
     n_pad = fwd.n_pad
+    assert cmp_pair is None or blk_pair is None or (
+        cmp_pair[0].n_pad == blk_pair[0].n_pad
+        and cmp_pair[0].n_src_pad == blk_pair[0].n_pad
+    )
 
     deg_in = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float32)
     deg_out = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float32)
@@ -183,8 +190,12 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         "rs_in": jnp.asarray(rs_in),
         "rs_out": jnp.asarray(rs_out),
     }
-    fwd_dev = fwd.to_device()
-    bwd_dev = bwd.to_device()
+    # device layout pairs, all passed as explicit jit args (never closures)
+    lay_dev = {}
+    if blk_pair is not None:
+        lay_dev["blk"] = (blk_pair[0].to_device(), blk_pair[1].to_device())
+    if cmp_pair is not None:
+        lay_dev["cmp"] = (cmp_pair[0].to_device(), cmp_pair[1].to_device())
     f = f_pad
 
     import optax
@@ -210,10 +221,22 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
     # everything the step touches is an explicit argument: closure-captured
     # arrays would be embedded as HLO constants, and at 100M-edge scale that
     # multi-GB payload stalls compilation
-    def loss_fn(params, dev, fwd_dev, bwd_dev):
+    def loss_fn(params, dev, lay_dev):
         def agg(h):
             hs = (h * dev["rs_out"][:, None]).astype(agg_dtype)
-            out = spmm_kernel(fwd_dev, hs, bwd_dev, use_pallas).astype(jnp.float32)
+            # mixed: the wide layer-0 pass keeps the full-bitmask kernel
+            # (compact's gather overhead scales with F); hidden-width
+            # passes ride the compact kernel (h widths are trace-static)
+            if impl == "mixed":
+                which = "cmp" if hs.shape[1] == hidden else "blk"
+            else:
+                which = "cmp" if impl == "compact" else "blk"
+            fd, bd = lay_dev[which]
+            if which == "cmp":
+                from adaqp_tpu.ops.spmm_compact import spmm_compact as fn
+            else:
+                from adaqp_tpu.ops.spmm_block import spmm_block as fn
+            out = fn(fd, hs, bd, use_pallas).astype(jnp.float32)
             return out * dev["rs_in"][:, None]
 
         h = dev["feats"]
@@ -229,20 +252,20 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         return masked_loss_sum(h, dev["labels"], dev["mask"], False) / train_count
 
     @jax.jit
-    def step(params, opt_state, dev, fwd_dev, bwd_dev):
-        loss, grads = jax.value_and_grad(loss_fn)(params, dev, fwd_dev, bwd_dev)
+    def step(params, opt_state, dev, lay_dev):
+        loss, grads = jax.value_and_grad(loss_fn)(params, dev, lay_dev)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     log("compiling train step...")
     t0 = time.perf_counter()
-    params, opt_state, loss = step(params, opt_state, dev, fwd_dev, bwd_dev)
+    params, opt_state, loss = step(params, opt_state, dev, lay_dev)
     _ = float(loss)  # force completion (block_until_ready is lazy over the tunnel)
     log(f"compile+first epoch: {time.perf_counter()-t0:.1f}s, loss {float(loss):.4f}")
     times = []
     for i in range(epochs):
         t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state, dev, fwd_dev, bwd_dev)
+        params, opt_state, loss = step(params, opt_state, dev, lay_dev)
         _ = float(loss)
         times.append(time.perf_counter() - t0)
         log(f"epoch {i}: {times[-1]:.3f}s loss {float(loss):.4f}")
@@ -301,9 +324,10 @@ def main():
     # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
     p.add_argument("--min_edges", type=int, default=192)
     p.add_argument("--impl", type=str, default="block",
-                   choices=["block", "compact"],
-                   help="raw-loop aggregation kernel (compact = v2 "
-                        "window-reuse + column-compaction kernel)")
+                   choices=["block", "compact", "mixed"],
+                   help="raw-loop aggregation kernel (compact = v2 window-reuse "
+                        "+ column-compaction; mixed = block for layer 0, "
+                        "compact for hidden passes)")
     p.add_argument("--me_ell", type=int, default=64,
                    help="compact: regions below this edge count go to ELL")
     p.add_argument("--full_cols", type=int, default=1024,
