@@ -139,10 +139,13 @@ def dist_aggregate(
 
     l = cfg.l_max
     if blocks is not None:
-        # bitmask-MXU kernels (Pallas on TPU, jnp fallback elsewhere)
+        # bitmask-MXU kernels (Pallas on TPU, jnp fallback elsewhere):
+        # v1 full-bitmask (BlockShards) or v2 compact-column (CompactShards)
         from .spmm_block import spmm_block
+        from .spmm_compact import CompactDevice, spmm_compact
 
         fl, bl, fh, bh = blocks.devices()
+        kernel = spmm_compact if isinstance(fl, CompactDevice) else spmm_block
         dt = jnp.dtype(cfg.agg_dtype)
         use_pallas = jax.default_backend() == "tpu" and h.shape[1] % 128 == 0
 
@@ -150,8 +153,8 @@ def dist_aggregate(
             # kernels emit dt (f32 accumulation inside); keeping the sum in
             # dt halves the [l_max, F] residents under agg_dtype=bfloat16 —
             # the downstream normalization/transform casts fuse
-            a = spmm_block(fl, hl.astype(dt), bl, use_pallas)
-            b = spmm_block(fh, hr.astype(dt), bh, use_pallas)
+            a = kernel(fl, hl.astype(dt), bl, use_pallas)
+            b = kernel(fh, hr.astype(dt), bh, use_pallas)
             return a + b
 
     else:

@@ -47,12 +47,17 @@ class RunConfig:
     # time comm/quant/central/marginal probes (the reference always records
     # these buckets, AdaQP/util/timer.py:29-51; the probe costs seconds once)
     measure_breakdown: bool = True
-    spmm_impl: str = "segment"  # "segment" | "block" (bitmask-MXU kernel)
+    # "segment" | "block" (v1 bitmask-MXU) | "compact" (v2 window-reuse +
+    # column-compaction kernel, ops/spmm_compact.py)
+    spmm_impl: str = "segment"
     # tile-vs-ELL split for the block impl: in-situ tile ~3.3us vs ELL
     # gather ~17 ns/edge puts breakeven near 190 edges/tile (EXPERIMENTS.md
     # r2 sweep: 512 -> 192 cut the Reddit-scale epoch 0.575 -> 0.464 s);
     # raise it when HBM is tight (bitmask bytes scale with tile count)
     block_min_edges: int = 192
+    # compact-impl tiering (see spmm_compact module doc / DESIGN.md §1a)
+    compact_me_ell: int = 64
+    compact_full_cols: int = 1024
     # boundary-exchange wire: "ragged" = exact per-pair sizes via
     # ragged_all_to_all (reference-parity byte volume); "padded" = dense
     # all_to_all at worst-channel capacity (legacy round-1 path)

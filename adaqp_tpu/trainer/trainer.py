@@ -84,8 +84,15 @@ class Trainer:
         part_id = self._load_or_partition()
         # the bitmask-MXU SpMM needs rows padded to its 2048 source-tile
         # grid; Pallas kernels want lane-aligned (128) features
-        pad_multiple = 2048 if cfg.spmm_impl == "block" else 8
-        feat_multiple = 128 if cfg.spmm_impl == "block" else 4
+        if cfg.spmm_impl == "block":
+            pad_multiple, feat_multiple = 2048, 128
+        elif cfg.spmm_impl == "compact":
+            # compact F-chunks are 384/256/128 lanes (spmm_compact._f_chunk):
+            # pad features to 384 so layer 0 rides 384-lane chunks instead
+            # of 5x128 redundant mask expansions
+            pad_multiple, feat_multiple = 2048, 384
+        else:
+            pad_multiple, feat_multiple = 8, 4
         from ..graph.layout import load_layout, save_layout
 
         lay_cache = os.path.join(
@@ -117,19 +124,26 @@ class Trainer:
             )
         self.sh = put_sharded(host_sh, self.mesh)
         self.blocks = None
-        if cfg.spmm_impl == "block":
-            from ..graph.block_shards import build_block_shards
-
+        if cfg.spmm_impl in ("block", "compact"):
             spec = jax.sharding.NamedSharding(self.mesh, P("part"))
-            self.blocks = jax.tree.map(
-                lambda x: put_global(x, spec),
-                build_block_shards(
+            if cfg.spmm_impl == "block":
+                from ..graph.block_shards import build_block_shards
+
+                shards = build_block_shards(
                     self.layout, min_edges=cfg.block_min_edges,
                     # reuse the layout cache's identity: tile packing at
                     # 100M-edge scale costs ~15 host-minutes per start
                     cache_prefix=lay_cache + "_blk",
-                ),
-            )
+                )
+            else:
+                from ..graph.compact_shards import build_compact_shards
+
+                shards = build_compact_shards(
+                    self.layout, me_ell=cfg.compact_me_ell,
+                    full_cols=cfg.compact_full_cols,
+                    cache_prefix=lay_cache + "_cmp",
+                )
+            self.blocks = jax.tree.map(lambda x: put_global(x, spec), shards)
         self.static = static_from_layout(
             self.layout,
             model=self.model_type,
@@ -162,7 +176,7 @@ class Trainer:
         self.val_count = float(self.graph.val_mask.sum())
         self.test_count = float(self.graph.test_mask.sum())
 
-        if cfg.spmm_impl == "block" and cfg.hidden_dim % 128:
+        if cfg.spmm_impl in ("block", "compact") and cfg.hidden_dim % 128:
             logger.warning(
                 "hidden_dim=%d is not a 128-lane multiple: on TPU the "
                 "bitmask-MXU kernel falls back to the slow portable tile "

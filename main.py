@@ -47,10 +47,17 @@ def parse_args():
     p.add_argument("--logger_level", type=str, default=None)
     p.add_argument("--exp_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--spmm_impl", type=str, default=None, choices=["segment", "block"])
+    p.add_argument("--spmm_impl", type=str, default=None,
+                   choices=["segment", "block", "compact"])
     p.add_argument("--agg_dtype", type=str, default=None, choices=["float32", "bfloat16"])
     p.add_argument("--block_min_edges", type=int, default=None,
                    help="tile/ELL split threshold for --spmm_impl block")
+    p.add_argument("--compact_me_ell", type=int, default=None,
+                   help="compact impl: regions below this edge count ride "
+                        "the ELL tail")
+    p.add_argument("--compact_full_cols", type=int, default=None,
+                   help="compact impl: regions above this occupied-column "
+                        "count stay full-bitmask")
     p.add_argument("--static_wire", type=int, default=None, choices=[0, 1],
                    help="pow2 wire capacities (reassignment reuses the "
                         "compiled step); default: on for TPU")
