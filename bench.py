@@ -273,7 +273,8 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
 
 
 def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype,
-                      model_name="gcn"):
+                      model_name="gcn", impl="block", me_ell=64,
+                      full_cols=1024):
     """Same Reddit-scale graph through the REAL Trainer runtime (K=1
     Vanilla, block-MXU impl) — headline and product share the code path
     (round-1 VERDICT weak #1 / next #9). Includes the full product layer
@@ -303,7 +304,9 @@ def run_trainer_bench(n, e, f, c, hidden, layers, epochs, agg_dtype,
         mode="Vanilla",
         log_steps=1,
         measure_breakdown=False,
-        spmm_impl="block",
+        spmm_impl=impl,
+        compact_me_ell=me_ell,
+        compact_full_cols=full_cols,
         agg_dtype=str(jnp.dtype(agg_dtype)),
         partition_dir=os.path.join(CACHE_DIR, "trainer_parts"),
         exp_path=os.path.join(CACHE_DIR, "trainer_exp"),
@@ -348,9 +351,12 @@ def main():
 
     log(f"devices: {jax.devices()}")
     if args.trainer:
+        if args.impl == "mixed":
+            raise SystemExit("--trainer supports --impl block|compact")
         val = run_trainer_bench(
             n, e, f, c, hidden, layers, args.epochs, jnp.dtype(args.agg_dtype),
-            model_name=args.model,
+            model_name=args.model, impl=args.impl, me_ell=args.me_ell,
+            full_cols=args.full_cols,
         )
         base = "reddit" if not args.quick else "quick"
         suffix = "" if args.model == "gcn" else f"_{args.model}"
