@@ -38,6 +38,11 @@ def main():
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--min_edges", type=int, default=192)
+    p.add_argument("--impl", type=str, default="block",
+                   choices=["block", "compact"],
+                   help="aggregation kernel (raw loop and trainer)")
+    p.add_argument("--me_ell", type=int, default=64)
+    p.add_argument("--full_cols", type=int, default=1024)
     p.add_argument("--trainer", action="store_true",
                    help="run through the full Trainer runtime instead of "
                         "the raw loop (LayerNorm, dropout, eval, artifacts)")
@@ -87,12 +92,22 @@ def main():
 
     t0 = time.perf_counter()
     # symmetric graph: one layout serves forward and backward
-    lay = block_layout(
-        src, dst, N, min_edges=args.min_edges,
-        cache_key=f"{key}_blk_me{args.min_edges}",
-    )
+    if args.impl == "compact":
+        from adaqp_tpu.ops.spmm_compact import compact_layout
+        from adaqp_tpu.ops.spmm_compact import spmm_compact as spmm_kernel
+
+        lay = compact_layout(
+            src, dst, N, me_ell=args.me_ell, full_cols=args.full_cols,
+            cache_key=f"{key}_cmp_me{args.me_ell}_fc{args.full_cols}",
+        )
+    else:
+        spmm_kernel = spmm_block
+        lay = block_layout(
+            src, dst, N, min_edges=args.min_edges,
+            cache_key=f"{key}_blk_me{args.min_edges}",
+        )
     print(
-        f"layout {time.perf_counter() - t0:.0f}s tiles={lay.masks.shape[0]}",
+        f"layout {time.perf_counter() - t0:.0f}s items={lay.masks.shape[0]}",
         flush=True,
     )
     dev = lay.to_device()
@@ -129,7 +144,7 @@ def main():
         h = data["feats"]
         for i, l in enumerate(params):
             hs = (h * data["rs"][:, None]).astype(jnp.bfloat16)
-            agg = spmm_block(dd, hs, dd, True) * data["rs"][:, None]
+            agg = spmm_kernel(dd, hs, dd, True) * data["rs"][:, None]
             h = agg.astype(jnp.bfloat16) @ l["w"].astype(jnp.bfloat16) + l[
                 "b"
             ].astype(jnp.bfloat16)
@@ -182,7 +197,9 @@ def run_trainer(src, dst, args):
         mode="Vanilla",
         log_steps=1,
         measure_breakdown=False,
-        spmm_impl="block",
+        spmm_impl=args.impl,
+        compact_me_ell=args.me_ell,
+        compact_full_cols=args.full_cols,
         agg_dtype="bfloat16",
         remat=args.remat,
         log_hbm=True,  # surface the footprint this scale runs up against
