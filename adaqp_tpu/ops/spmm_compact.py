@@ -400,7 +400,7 @@ def _compact_kernel(
 
     @pl.when(kd_ref[i] == 1)
     def _():
-        colv = colidx_ref[...]  # [1, BS] i32
+        colv = colidx_ref[...]  # [1, 1, BS] i32
         idx = jnp.broadcast_to(colv.reshape(BS, 1), (BS, fc))
         g = jnp.take_along_axis(wv, idx, axis=0)  # [BS, fc]
         for s in range(GROUP):
@@ -439,8 +439,11 @@ def _run_compact_pallas(
                 lambda c, i, *s: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # [T, 1, BS]: the block's trailing dims (1, BS) satisfy the
+            # Mosaic (8, 128) tiling rule because dim -2 equals the array
+            # dim (a (1, BS) block over [T, BS] does not)
             pl.BlockSpec(
-                (1, BS), lambda c, i, *s: (i, 0), memory_space=pltpu.VMEM
+                (1, 1, BS), lambda c, i, *s: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # h stays in HBM
         ],
@@ -464,7 +467,7 @@ def _run_compact_pallas(
     )(
         layout.src_start, layout.kind, layout.new_window, layout.wslot,
         layout.strip_first, layout.strip_last, layout.strip_id,
-        layout.dst_off, layout.masks, layout.col_idx, h,
+        layout.dst_off, layout.masks, layout.col_idx.reshape(t, 1, BS), h,
     )
     return out
 

@@ -140,6 +140,24 @@ def test_pallas_interpret_multi_fchunk(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_tpu_export_lowering(rng):
+    # cross-platform export runs the Pallas->Mosaic PYTHON lowering without
+    # a TPU device: it enforces the (8, 128) block-tiling rules and the
+    # gather pattern-match (take_along_axis -> tpu.dynamic_gather) that
+    # interpret mode does NOT check (this caught a (1, BS) col_idx
+    # blockspec violation the CPU suite was blind to)
+    import functools
+
+    n, e = 6000, 40000
+    src, dst = _banded(rng, n, e)
+    lay = compact_layout(src, dst, n, me_ell=32, full_cols=512).to_device()
+    fn = jax.jit(functools.partial(_run_compact_pallas, interpret=False))
+    for f, dt in ((256, jnp.bfloat16), (768, jnp.float32)):
+        h = jnp.zeros((lay.n_src_pad, f), dt)
+        exp = jax.export.export(fn, platforms=["tpu"])(lay, h)
+        assert len(exp.mlir_module_serialized) > 0
+
+
 def test_custom_vjp_uses_reverse_layout(rng):
     n, e, f = 2000, 15000, 16
     src = rng.integers(0, n, e).astype(np.int32)
