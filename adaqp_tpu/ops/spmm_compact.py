@@ -53,6 +53,7 @@ SB = 8            # dst blocks per strip (strip = 2048 rows)
 STRIP = SB * BD
 CSUB = 256        # columns per compact subtile
 GROUP = BS // CSUB  # subtiles per group (8): one square window gather
+CIDX_ROWS = BS // 128  # col_idx rides as [CIDX_ROWS, 128] i32 blocks
 COMPACT_SCHEME = 1  # cache-format version
 
 # tiering defaults (host-side; retune from scripts/microbench_gather.py)
@@ -400,7 +401,7 @@ def _compact_kernel(
 
     @pl.when(kd_ref[i] == 1)
     def _():
-        colv = colidx_ref[...]  # [1, 1, BS] i32
+        colv = colidx_ref[...]  # [CIDX_ROWS, 128] i32 (row-major flat [BS])
         idx = jnp.broadcast_to(colv.reshape(BS, 1), (BS, fc))
         g = jnp.take_along_axis(wv, idx, axis=0)  # [BS, fc]
         for s in range(GROUP):
@@ -439,11 +440,13 @@ def _run_compact_pallas(
                 lambda c, i, *s: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # [T, 1, BS]: the block's trailing dims (1, BS) satisfy the
-            # Mosaic (8, 128) tiling rule because dim -2 equals the array
-            # dim (a (1, BS) block over [T, BS] does not)
+            # col_idx rides as [16 T, 128] i32 (a free row-major reshape of
+            # [T, BS]): (16, 128) blocks satisfy the Mosaic (8, 128)
+            # trailing-dims rule with ZERO tile padding — the [T, 1, BS]
+            # alternative pads its 1-sublane dim to 8 (8x col_idx HBM,
+            # +1.2 GB at Reddit scale)
             pl.BlockSpec(
-                (1, 1, BS), lambda c, i, *s: (i, 0, 0), memory_space=pltpu.VMEM
+                (CIDX_ROWS, 128), lambda c, i, *s: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # h stays in HBM
         ],
@@ -467,7 +470,7 @@ def _run_compact_pallas(
     )(
         layout.src_start, layout.kind, layout.new_window, layout.wslot,
         layout.strip_first, layout.strip_last, layout.strip_id,
-        layout.dst_off, layout.masks, layout.col_idx.reshape(t, 1, BS), h,
+        layout.dst_off, layout.masks, layout.col_idx.reshape(t * CIDX_ROWS, 128), h,
     )
     return out
 
