@@ -40,16 +40,17 @@ from .layout import PartitionLayout
 
 # stacked item arrays, in CompactDevice leaf order:
 # (kind, masks, col_idx, src_start, strip_id, new_window, wslot,
-#  strip_first, strip_last, dst_off), each [K, T, ...]
+#  strip_first, strip_last, dst_off, nsub), each [K, T, ...]
 Item10 = Tuple[
     jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
     jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+    jnp.ndarray,
 ]
 
 _GROUPS = ("fwd_local", "bwd_local", "fwd_halo", "bwd_halo")
 _FIELDS = (
     "kind", "masks", "col_idx", "src_start", "strip_id", "new_window",
-    "wslot", "strip_first", "strip_last", "dst_off",
+    "wslot", "strip_first", "strip_last", "dst_off", "nsub",
 )
 
 
@@ -123,6 +124,8 @@ def _pad_items(lays, t_max) -> Item10:
             "strip_first": np.zeros(pad, np.int32),
             "strip_last": np.zeros(pad, np.int32),
             "dst_off": np.zeros((pad, lay.dst_off.shape[1]), np.int32),
+            # pads are kind-0 items whose group path never runs
+            "nsub": np.full(pad, lay.dst_off.shape[1], np.int32),
         }
         for f in _FIELDS:
             cols[f].append(np.concatenate([getattr(lay, f), ext[f]]))

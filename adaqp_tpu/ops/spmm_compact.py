@@ -78,6 +78,7 @@ class CompactLayout:
     strip_first: np.ndarray  # int32 [T] 1 = zero the strip accumulator
     strip_last: np.ndarray   # int32 [T] 1 = flush accumulator to out
     dst_off: np.ndarray    # int32 [T, GROUP] row offset in strip per subtile
+    nsub: np.ndarray       # int32 [T] used subtile slots (kind-1 items)
     straggler: Optional[EllLayout]
 
     def to_device(self) -> "CompactDevice":
@@ -88,6 +89,7 @@ class CompactLayout:
             jnp.asarray(self.strip_id), jnp.asarray(self.new_window),
             jnp.asarray(self.wslot), jnp.asarray(self.strip_first),
             jnp.asarray(self.strip_last), jnp.asarray(self.dst_off),
+            jnp.asarray(self.nsub),
             self.straggler.to_device() if self.straggler else None,
         )
 
@@ -107,6 +109,7 @@ class CompactDevice:
     strip_first: jnp.ndarray
     strip_last: jnp.ndarray
     dst_off: jnp.ndarray
+    nsub: jnp.ndarray
     straggler: Optional[EllDevice]
 
 
@@ -114,7 +117,8 @@ jax.tree_util.register_pytree_node(
     CompactDevice,
     lambda c: (
         (c.kind, c.masks, c.col_idx, c.src_start, c.strip_id, c.new_window,
-         c.wslot, c.strip_first, c.strip_last, c.dst_off, c.straggler),
+         c.wslot, c.strip_first, c.strip_last, c.dst_off, c.nsub,
+         c.straggler),
         (c.n, c.n_pad, c.n_src_pad),
     ),
     lambda aux, leaves: CompactDevice(*aux, *leaves),
@@ -125,6 +129,25 @@ def _dedup(src: np.ndarray, dst: np.ndarray, n: int):
     key = src.astype(np.int64) * n + dst
     uniq = np.unique(key)
     return (uniq // n).astype(np.int32), (uniq % n).astype(np.int32)
+
+
+def nsub_from_masks(masks: np.ndarray) -> np.ndarray:
+    """[T] count of USED subtile slots per item, derived from the group
+    bitmask: slot s owns virtual columns [CSUB s, CSUB (s+1)), i.e. bit
+    pairs (2s, 2s+1) across every halfword. Dummy-padded slots are always
+    a zero tail (the group builder packs real subtiles first), so the
+    kernel can skip matmuls for slots >= nsub. Full items derive GROUP
+    (their kind-0 path ignores it)."""
+    t = masks.shape[0]
+    used = np.zeros((t, GROUP), bool)
+    m = masks.view(np.uint16)
+    for s in range(GROUP):
+        used[:, s] = ((m >> (2 * s)) & 3).any(axis=(1, 2))
+    # highest used slot + 1 (>= 1 so the kernel always runs one matmul)
+    return np.maximum(
+        GROUP - np.argmax(used[:, ::-1], axis=1) - (~used.any(axis=1)) * GROUP,
+        1,
+    ).astype(np.int32)
 
 
 def _pack_bits(rows: np.ndarray, vcols: np.ndarray) -> np.ndarray:
@@ -171,11 +194,13 @@ def compact_layout(
                 straggler = EllLayout(
                     int(z["n_pad"]), buckets, int(z["ell_row_chunk"])
                 )
+            nsub = z["nsub"] if "nsub" in z else nsub_from_masks(z["masks"])
             return CompactLayout(
                 int(z["n"]), int(z["n_pad"]), int(z["n_src_pad"]),
                 z["kind"], z["masks"], z["col_idx"], z["src_start"],
                 z["strip_id"], z["new_window"], z["wslot"],
-                z["strip_first"], z["strip_last"], z["dst_off"], straggler,
+                z["strip_first"], z["strip_last"], z["dst_off"], nsub,
+                straggler,
             )
 
     if n_src is None:
@@ -309,7 +334,7 @@ def compact_layout(
     lay = CompactLayout(
         n, n_pad, n_src_pad, kind, masks, col_idx, src_start, strip_id,
         new_window, wslot.astype(np.int32), strip_first, strip_last,
-        dst_off, straggler,
+        dst_off, nsub_from_masks(masks), straggler,
     )
     if cache_key:
         os.makedirs(os.path.dirname(cache_key) or ".", exist_ok=True)
@@ -317,7 +342,7 @@ def compact_layout(
             n=n, n_pad=n_pad, n_src_pad=n_src_pad, kind=kind, masks=masks,
             col_idx=col_idx, src_start=src_start, strip_id=strip_id,
             new_window=new_window, wslot=lay.wslot, strip_first=strip_first,
-            strip_last=strip_last, dst_off=dst_off,
+            strip_last=strip_last, dst_off=dst_off, nsub=lay.nsub,
             has_straggler=int(straggler is not None),
             ell_scheme=ELL_SCHEME, compact_scheme=COMPACT_SCHEME,
         )
@@ -349,7 +374,7 @@ def _f_chunk(f: int) -> int:
 
 def _compact_kernel(
     fc: int, ss_ref, kd_ref, nw_ref, ws_ref, sf_ref, sl_ref, sid_ref,
-    doff_ref, mask_ref, colidx_ref, h_ref, out_ref, win, sems, acc,
+    doff_ref, nsub_ref, mask_ref, colidx_ref, h_ref, out_ref, win, sems, acc,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -405,13 +430,17 @@ def _compact_kernel(
         idx = jnp.broadcast_to(colv.reshape(BS, 1), (BS, fc))
         g = jnp.take_along_axis(wv, idx, axis=0)  # [BS, fc]
         for s in range(GROUP):
-            contrib = jnp.dot(
-                a[:, s * CSUB : (s + 1) * CSUB],
-                g[s * CSUB : (s + 1) * CSUB, :],
-                preferred_element_type=jnp.float32,
-            )
-            off = pl.multiple_of(doff_ref[i, s], BD)
-            acc[pl.ds(off, BD), :] += contrib
+            # dummy-padded slots are a zero tail: skip their matmuls
+            # (group fill is ~0.74 at products scale)
+            @pl.when(nsub_ref[i] > s)
+            def _():
+                contrib = jnp.dot(
+                    a[:, s * CSUB : (s + 1) * CSUB],
+                    g[s * CSUB : (s + 1) * CSUB, :],
+                    preferred_element_type=jnp.float32,
+                )
+                off = pl.multiple_of(doff_ref[i, s], BD)
+                acc[pl.ds(off, BD), :] += contrib
 
     @pl.when(sl_ref[i] == 1)
     def _():
@@ -432,7 +461,7 @@ def _run_compact_pallas(
     n_pad = layout.n_pad
     t = layout.masks.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(f // fc, t),
         in_specs=[
             pl.BlockSpec(
@@ -470,7 +499,8 @@ def _run_compact_pallas(
     )(
         layout.src_start, layout.kind, layout.new_window, layout.wslot,
         layout.strip_first, layout.strip_last, layout.strip_id,
-        layout.dst_off, layout.masks, layout.col_idx.reshape(t * CIDX_ROWS, 128), h,
+        layout.dst_off, layout.nsub, layout.masks,
+        layout.col_idx.reshape(t * CIDX_ROWS, 128), h,
     )
     return out
 
