@@ -112,11 +112,15 @@ def _pad_items(lays, t_max) -> Item10:
         t = lay.masks.shape[0]
         pad = t_max - t
         ext = {
-            "kind": np.zeros(pad, np.int32),
+            # kind-1 + nsub=0 pads: the kernel's nsub guard skips the
+            # window gather AND every slot matmul, so a padded step costs
+            # one zero-mask expand — a kind-0 pad would burn a full-width
+            # MXU matmul of zeros per feature chunk
+            "kind": np.ones(pad, np.int32),
             "masks": np.zeros((pad, BD, WORDS), np.int16),
             "col_idx": np.zeros((pad, BS), np.int32),
             # repeat the last real values: no DMA, no acc zero/flush, out
-            # block index unchanged -> the padded steps are pure no-ops
+            # block index unchanged -> the padded steps are near no-ops
             "src_start": np.full(pad, lay.src_start[-1], np.int32),
             "strip_id": np.full(pad, lay.strip_id[-1], np.int32),
             "new_window": np.zeros(pad, np.int32),
@@ -124,8 +128,7 @@ def _pad_items(lays, t_max) -> Item10:
             "strip_first": np.zeros(pad, np.int32),
             "strip_last": np.zeros(pad, np.int32),
             "dst_off": np.zeros((pad, lay.dst_off.shape[1]), np.int32),
-            # pads are kind-0 items whose group path never runs
-            "nsub": np.full(pad, lay.dst_off.shape[1], np.int32),
+            "nsub": np.zeros(pad, np.int32),
         }
         for f in _FIELDS:
             cols[f].append(np.concatenate([getattr(lay, f), ext[f]]))

@@ -126,29 +126,26 @@ def block_layout(
 ) -> BlockLayout:
     """Build the tile layout for edges src -> dst; ``n`` destination rows,
     ``n_src`` source rows (defaults to ``n`` — the square case)."""
-    from .spmm_fast import ELL_SCHEME
+    from .spmm_fast import ell_cache_ok, ell_load_npz, ell_save_npz
 
     if cache_key and os.path.exists(cache_key + ".npz"):
         z = np.load(cache_key + ".npz")
-        stale = int(z.get("mask_scheme", 1)) != MASK_SCHEME or (
-            int(z["has_straggler"]) and int(z.get("ell_scheme", 1)) != ELL_SCHEME
+        # legacy caches lack min_edges/n_src keys; treat missing as match
+        # (every existing cache key mangles min_edges into the filename)
+        stale = (
+            int(z.get("mask_scheme", 1)) != MASK_SCHEME
+            or not ell_cache_ok(z)
+            or int(z.get("min_edges", min_edges)) != min_edges
+            or int(z["n"]) != n
         )
         if stale:
             z = None
     else:
         z = None
     if z is not None:
-        straggler = None
-        if int(z["has_straggler"]):
-            nbk = int(z["ell_num_buckets"])
-            buckets = [
-                (int(z[f"ell_w{i}"]), z[f"ell_rows{i}"], z[f"ell_idx{i}"], z[f"ell_lens{i}"])
-                for i in range(nbk)
-            ]
-            straggler = EllLayout(int(z["n_pad"]), buckets, int(z["ell_row_chunk"]))
         return BlockLayout(
             int(z["n"]), int(z["n_pad"]), z["masks"], z["src_start"],
-            z["dst_blk"], z["is_first"], straggler,
+            z["dst_blk"], z["is_first"], ell_load_npz(z),
             int(z.get("n_src_pad", z["n_pad"])),
         )
 
@@ -236,17 +233,9 @@ def block_layout(
         save = dict(
             n=n, n_pad=n_pad, n_src_pad=n_src_pad, masks=masks,
             src_start=src_start, dst_blk=dst_blk, is_first=is_first,
-            has_straggler=int(straggler is not None), ell_scheme=ELL_SCHEME,
-            mask_scheme=MASK_SCHEME,
+            min_edges=min_edges, mask_scheme=MASK_SCHEME,
         )
-        if straggler is not None:
-            save["ell_num_buckets"] = len(straggler.buckets)
-            save["ell_row_chunk"] = straggler.row_chunk
-            for i, (w, rows, idx, lens) in enumerate(straggler.buckets):
-                save[f"ell_w{i}"] = w
-                save[f"ell_rows{i}"] = rows
-                save[f"ell_idx{i}"] = idx
-                save[f"ell_lens{i}"] = lens
+        ell_save_npz(save, straggler)
         np.savez(cache_key + ".npz", **save)
     return lay
 

@@ -175,25 +175,24 @@ def compact_layout(
 ) -> CompactLayout:
     """Build the three-tier layout for edges src -> dst (``n`` dst rows,
     ``n_src`` source rows; defaults to square)."""
-    from .spmm_fast import ELL_SCHEME
+    from .spmm_fast import ell_cache_ok, ell_load_npz, ell_save_npz
 
     if cache_key and os.path.exists(cache_key + ".npz"):
         z = np.load(cache_key + ".npz")
-        ok = int(z.get("compact_scheme", 0)) == COMPACT_SCHEME and not (
-            int(z["has_straggler"]) and int(z.get("ell_scheme", 1)) != ELL_SCHEME
+        # a cache hit must have been built with the SAME tiering parameters
+        # and graph dims, or the caller silently measures a stale layout
+        # (legacy caches lack the keys; their filenames mangle the params)
+        ok = (
+            int(z.get("compact_scheme", 0)) == COMPACT_SCHEME
+            and ell_cache_ok(z)
+            and int(z.get("me_ell", me_ell)) == me_ell
+            and int(z.get("full_cols", full_cols)) == full_cols
+            and int(z["n"]) == n
+            and int(z.get("n_src", n if n_src is None else n_src))
+            == (n if n_src is None else n_src)
         )
         if ok:
-            straggler = None
-            if int(z["has_straggler"]):
-                nbk = int(z["ell_num_buckets"])
-                buckets = [
-                    (int(z[f"ell_w{i}"]), z[f"ell_rows{i}"], z[f"ell_idx{i}"],
-                     z[f"ell_lens{i}"])
-                    for i in range(nbk)
-                ]
-                straggler = EllLayout(
-                    int(z["n_pad"]), buckets, int(z["ell_row_chunk"])
-                )
+            straggler = ell_load_npz(z)
             nsub = z["nsub"] if "nsub" in z else nsub_from_masks(z["masks"])
             return CompactLayout(
                 int(z["n"]), int(z["n_pad"]), int(z["n_src_pad"]),
@@ -339,21 +338,14 @@ def compact_layout(
     if cache_key:
         os.makedirs(os.path.dirname(cache_key) or ".", exist_ok=True)
         save = dict(
-            n=n, n_pad=n_pad, n_src_pad=n_src_pad, kind=kind, masks=masks,
-            col_idx=col_idx, src_start=src_start, strip_id=strip_id,
-            new_window=new_window, wslot=lay.wslot, strip_first=strip_first,
-            strip_last=strip_last, dst_off=dst_off, nsub=lay.nsub,
-            has_straggler=int(straggler is not None),
-            ell_scheme=ELL_SCHEME, compact_scheme=COMPACT_SCHEME,
+            n=n, n_src=n_src, n_pad=n_pad, n_src_pad=n_src_pad, kind=kind,
+            masks=masks, col_idx=col_idx, src_start=src_start,
+            strip_id=strip_id, new_window=new_window, wslot=lay.wslot,
+            strip_first=strip_first, strip_last=strip_last, dst_off=dst_off,
+            nsub=lay.nsub, me_ell=me_ell, full_cols=full_cols,
+            compact_scheme=COMPACT_SCHEME,
         )
-        if straggler is not None:
-            save["ell_num_buckets"] = len(straggler.buckets)
-            save["ell_row_chunk"] = straggler.row_chunk
-            for i, (w, rows, idx, lens) in enumerate(straggler.buckets):
-                save[f"ell_w{i}"] = w
-                save[f"ell_rows{i}"] = rows
-                save[f"ell_idx{i}"] = idx
-                save[f"ell_lens{i}"] = lens
+        ell_save_npz(save, straggler)
         np.savez(cache_key + ".npz", **save)
     return lay
 
@@ -424,7 +416,7 @@ def _compact_kernel(
         off = pl.multiple_of(doff_ref[i, 0], BD)
         acc[pl.ds(off, BD), :] += contrib
 
-    @pl.when(kd_ref[i] == 1)
+    @pl.when(jnp.logical_and(kd_ref[i] == 1, nsub_ref[i] > 0))
     def _():
         colv = colidx_ref[...]  # [CIDX_ROWS, 128] i32 (row-major flat [BS])
         idx = jnp.broadcast_to(colv.reshape(BS, 1), (BS, fc))

@@ -97,6 +97,40 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def ell_cache_ok(z) -> bool:
+    """True when a layout npz's embedded ELL straggler (if any) matches the
+    current ELL_SCHEME (callers bump their own scheme keys separately)."""
+    return not (int(z["has_straggler"]) and int(z.get("ell_scheme", 1)) != ELL_SCHEME)
+
+
+def ell_save_npz(save: dict, straggler) -> None:
+    """Serialize an optional EllLayout into a layout npz dict (shared by
+    the block and compact layout caches — one key schema, one writer)."""
+    save["has_straggler"] = int(straggler is not None)
+    save["ell_scheme"] = ELL_SCHEME
+    if straggler is not None:
+        save["ell_num_buckets"] = len(straggler.buckets)
+        save["ell_row_chunk"] = straggler.row_chunk
+        for i, (w, rows, idx, lens) in enumerate(straggler.buckets):
+            save[f"ell_w{i}"] = w
+            save[f"ell_rows{i}"] = rows
+            save[f"ell_idx{i}"] = idx
+            save[f"ell_lens{i}"] = lens
+
+
+def ell_load_npz(z):
+    """Inverse of ell_save_npz: optional EllLayout from a layout npz."""
+    if not int(z["has_straggler"]):
+        return None
+    nbk = int(z["ell_num_buckets"])
+    buckets = [
+        (int(z[f"ell_w{i}"]), z[f"ell_rows{i}"], z[f"ell_idx{i}"],
+         z[f"ell_lens{i}"])
+        for i in range(nbk)
+    ]
+    return EllLayout(int(z["n_pad"]), buckets, int(z["ell_row_chunk"]))
+
+
 def ell_from_csr(
     src: np.ndarray,
     dst: np.ndarray,

@@ -202,6 +202,18 @@ def test_multigraph_rejected(rng):
     assert got[2, 0] == 1.0 and got[6, 0] == 1.0
 
 
+def test_cache_rejects_mismatched_params(tmp_path, rng):
+    # same cache_key, different tiering -> rebuild, not a silent stale hit
+    n, e = 3000, 30000
+    src, dst = _banded(rng, n, e)
+    key = str(tmp_path / "cmp_p")
+    a = compact_layout(src, dst, n, me_ell=16, full_cols=512, cache_key=key)
+    b = compact_layout(src, dst, n, me_ell=192, full_cols=256, cache_key=key)
+    assert (a.kind == 0).sum() != (b.kind == 0).sum() or len(a.kind) != len(
+        b.kind
+    ), "different tiering params must produce a different layout"
+
+
 def test_cache_roundtrip(tmp_path, rng):
     n, e = 3000, 30000
     src, dst = _banded(rng, n, e)
