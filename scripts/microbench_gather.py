@@ -202,6 +202,68 @@ def main():
         print(f"XLA row gather      [{R},{ff}] bf16: {t*1e6:8.1f} us/iter "
               f"({t/R*1e9:.1f} ns/row)")
 
+    # --- spmm_compact work-item cost, end to end (expand + [gather +
+    # 8 narrow matmuls | one full-width matmul] into an f32 accumulator):
+    # the model constants layout_census.py --group_model consumes
+    from adaqp_tpu.ops.spmm_compact import BD, BS, CSUB, GROUP, WORDS
+    from jax.experimental.pallas import tpu as pltpu
+
+    def mk_item(iters, kind, fc):
+        def kern(mask_ref, col_ref, win_ref, o_ref, acc):
+            words = mask_ref[...]
+            win = win_ref[...]
+
+            def body(k, _):
+                rep = pltpu.repeat(words.astype(jnp.int32), 16, axis=1)
+                bit = jax.lax.broadcasted_iota(jnp.int32, (BD, BS), 1) // WORDS
+                a = ((rep >> bit) & 1).astype(jnp.float32).astype(jnp.bfloat16)
+                if kind == 0:
+                    acc[pl.ds(0, BD), :] += jnp.dot(
+                        a, win, preferred_element_type=jnp.float32
+                    )
+                else:
+                    colv = col_ref[...]
+                    idx = jnp.broadcast_to(colv.reshape(BS, 1), (BS, fc))
+                    g = jnp.take_along_axis(win, idx, axis=0)
+                    for s in range(GROUP):
+                        acc[pl.ds(s % SBK * BD, BD), :] += jnp.dot(
+                            a[:, s * CSUB : (s + 1) * CSUB],
+                            g[s * CSUB : (s + 1) * CSUB, :],
+                            preferred_element_type=jnp.float32,
+                        )
+                return 0
+
+            jax.lax.fori_loop(0, iters, body, 0)
+            o_ref[...] = acc[:].astype(jnp.bfloat16)
+        return kern
+
+    SBK = 8
+    for fc in (256, 384):
+        mask = jnp.asarray(
+            rng.integers(0, 1 << 16, (BD, WORDS)).astype(np.uint16).view(np.int16)
+        )
+        col = jnp.asarray(
+            rng.integers(0, BS, BS).astype(np.int32).reshape(16, 128)
+        )
+        win = jnp.asarray(
+            rng.normal(size=(BS, fc)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        for kind, name in ((0, "full"), (1, "group")):
+            try:
+                fn = pl.pallas_call(
+                    mk_item(ITERS, kind, fc),
+                    out_shape=jax.ShapeDtypeStruct((SBK * BD, fc), jnp.bfloat16),
+                    scratch_shapes=[
+                        pltpu.VMEM((SBK * BD, fc), jnp.float32)
+                    ],
+                    interpret=INTERPRET,
+                )
+                t = time_fn(lambda a, b, c: fn(a, b, c), mask, col, win)
+                print(f"compact {name}-item  fc={fc}: {t*1e6:8.2f} us/item")
+            except Exception as e:
+                print(f"compact {name}-item fc={fc}: FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()
