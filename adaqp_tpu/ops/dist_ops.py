@@ -148,6 +148,14 @@ def dist_aggregate(
         kernel = spmm_compact if isinstance(fl, CompactDevice) else spmm_block
         dt = jnp.dtype(cfg.agg_dtype)
         use_pallas = jax.default_backend() == "tpu" and h.shape[1] % 128 == 0
+        if kernel is spmm_compact and use_pallas:
+            # hardware gate: the compact kernel's window permutation needs a
+            # cross-vreg Mosaic gather (spmm_compact.dynamic_gather_supported);
+            # fall back to the portable path (Trainer redirects compact->block
+            # at scale before this point)
+            from .spmm_compact import dynamic_gather_supported
+
+            use_pallas = dynamic_gather_supported()
 
         def pair(hl, hr):
             # kernels emit dt (f32 accumulation inside); keeping the sum in

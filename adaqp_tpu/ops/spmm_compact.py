@@ -60,6 +60,49 @@ COMPACT_SCHEME = 1  # cache-format version
 ME_ELL = 64       # regions below this edge count go to the ELLPACK tail
 FULL_COLS = 1024  # regions with more occupied columns stay full-bitmask
 
+_GATHER_SUPPORT: Optional[bool] = None
+
+
+def dynamic_gather_supported() -> bool:
+    """Whether Mosaic lowers a cross-vreg sublane ``take_along_axis``
+    (``tpu.dynamic_gather``) — the primitive this kernel's window
+    permutation is built on.
+
+    Measured on v5e (2026-08, ``scripts/microbench_gather.py`` +
+    EXPERIMENTS.md): the gather unit only reindexes WITHIN one vreg —
+    sublane gathers lower at depth <= 8 and lane gathers within 128
+    lanes; every form the compact kernel needs (a [2048, F] window
+    permutation) fails in Mosaic's infer-vector-layout. The probe
+    compiles a [16, 128] sublane gather once per process (seconds over
+    the remote-compile tunnel; cached by the persistent XLA compilation
+    cache afterwards). ``ADAQP_DYNAMIC_GATHER=0|1`` skips the probe.
+    """
+    global _GATHER_SUPPORT
+    if _GATHER_SUPPORT is not None:
+        return _GATHER_SUPPORT
+    env = os.environ.get("ADAQP_DYNAMIC_GATHER")
+    if env is not None:
+        _GATHER_SUPPORT = env not in ("0", "false", "False")
+        return _GATHER_SUPPORT
+    if jax.default_backend() != "tpu":
+        # non-TPU backends take the portable jnp path anyway
+        _GATHER_SUPPORT = False
+        return False
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, i_ref, o_ref):
+        o_ref[...] = jnp.take_along_axis(x_ref[...], i_ref[...], axis=0)
+
+    try:
+        x = jnp.zeros((16, 128), jnp.float32)
+        i = jnp.zeros((16, 128), jnp.int32)
+        fn = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))
+        jax.jit(fn).lower(x, i).compile()
+        _GATHER_SUPPORT = True
+    except Exception:
+        _GATHER_SUPPORT = False
+    return _GATHER_SUPPORT
+
 
 @dataclass
 class CompactLayout:
@@ -546,6 +589,13 @@ def run_compact(
     """
     if use_pallas and not _f_chunk(h.shape[1]):
         use_pallas = False
+    if use_pallas and not dynamic_gather_supported():
+        raise RuntimeError(
+            "spmm_compact's Pallas path needs Mosaic tpu.dynamic_gather "
+            "beyond one vreg, which this backend cannot lower (see "
+            "dynamic_gather_supported); use spmm_impl='block' or "
+            "use_pallas=False (portable jnp path — hours at bench scale)"
+        )
     if use_pallas:
         out = _run_compact_pallas(layout, h)
     else:

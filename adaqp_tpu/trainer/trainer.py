@@ -70,6 +70,18 @@ def setup_logger(level: str = "INFO", logfile: Optional[str] = "trainer.log"):
 class Trainer:
     def __init__(self, cfg: RunConfig, graph: Optional[GraphData] = None):
         setup_logger(cfg.logger_level)
+        if cfg.spmm_impl == "compact" and jax.default_backend() == "tpu":
+            from ..ops.spmm_compact import dynamic_gather_supported
+
+            if not dynamic_gather_supported():
+                logger.warning(
+                    "spmm_impl=compact needs a cross-vreg Mosaic gather this "
+                    "TPU backend cannot lower (spmm_compact."
+                    "dynamic_gather_supported); using spmm_impl=block"
+                )
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, spmm_impl="block")
         self.cfg = cfg
         self.mode = Mode.from_str(cfg.mode)
         self.scheme = Scheme.from_str(cfg.assign_scheme)

@@ -126,7 +126,17 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
             # the portable fallback unrolls one jit op per work item — at
             # bench scale that is an hours-long CPU trace, not a benchmark
             raise SystemExit(f"--impl {impl} requires the TPU backend")
-        from adaqp_tpu.ops.spmm_compact import compact_layout
+        from adaqp_tpu.ops.spmm_compact import (
+            compact_layout,
+            dynamic_gather_supported,
+        )
+
+        if not dynamic_gather_supported():
+            raise SystemExit(
+                f"--impl {impl}: this TPU backend cannot lower the compact "
+                "kernel's cross-vreg Mosaic gather (see spmm_compact."
+                "dynamic_gather_supported / EXPERIMENTS.md); use --impl block"
+            )
 
         log(f"building compact layout (host, one-time), me_ell={me_ell} "
             f"full_cols={full_cols}")

@@ -16,9 +16,11 @@ timeout 1800 python scripts/microbench_gather.py 2>&1 | tee data/chiplogs/02_gat
 # 3. headline, v1 block (the current default; also warms the jit cache)
 timeout 3600 python bench.py 2>&1 | tee data/chiplogs/03_bench_block.log
 
-# 4. headline, v2 variants (skip if step 2 shows vg >= 4 ns/vcol)
-timeout 3600 python bench.py --impl mixed 2>&1 | tee data/chiplogs/04_bench_mixed.log
-timeout 3600 python bench.py --impl compact 2>&1 | tee data/chiplogs/05_bench_compact.log
+# 4. RETIRED 2026-08-18: Mosaic dynamic_gather is vreg-local on this
+# backend, the compact kernel cannot lower (EXPERIMENTS.md). These exit
+# immediately with the reason; kept for a future backend whose probe flips.
+# timeout 3600 python bench.py --impl mixed 2>&1 | tee data/chiplogs/04_bench_mixed.log
+# timeout 3600 python bench.py --impl compact 2>&1 | tee data/chiplogs/05_bench_compact.log
 
 # 5. trainer-level headline (same code path as the product)
 timeout 3600 python bench.py --trainer 2>&1 | tee data/chiplogs/06_trainer_block.log

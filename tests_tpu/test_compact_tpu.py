@@ -12,9 +12,18 @@ if jax.default_backend() not in ("tpu",):
 
 from adaqp_tpu.ops.spmm_compact import (  # noqa: E402
     compact_layout,
+    dynamic_gather_supported,
     run_compact,
     spmm_compact,
 )
+
+if not dynamic_gather_supported():
+    pytest.skip(
+        "Mosaic dynamic_gather only reindexes within one vreg on this "
+        "backend (sublane depth <= 8); the compact kernel's [2048, F] "
+        "window permutation cannot lower — see EXPERIMENTS.md",
+        allow_module_level=True,
+    )
 
 
 def _ref(src, dst, h, n_pad, n):
