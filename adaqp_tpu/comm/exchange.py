@@ -39,6 +39,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..common.backend import tpu_path
 from ..ops import quant
 
 
@@ -154,7 +155,7 @@ def _quant_lanes(rows, bits, key, f_true=None):
     k, cap, f = rows.shape
     ft = f if f_true is None else f_true
     flat = rows.reshape(k * cap, f)
-    if jax.default_backend() == "tpu" and f % 128 == 0:
+    if tpu_path() and f % 128 == 0:
         from ..ops import quant_pallas
 
         n = k * cap

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..common.backend import tpu_path
 from ..ops import quant
 from .ragged import ragged_all_to_all
 from .wire import WireDir
@@ -41,7 +42,7 @@ def _row_granular() -> bool:
     The aligned wire layout supports both; results are identical."""
     if _FORCE_ROW_GRANULAR is not None:
         return _FORCE_ROW_GRANULAR
-    return jax.default_backend() == "tpu"
+    return tpu_path()
 
 
 def _to_width(x: jnp.ndarray, width: int, fill=0.0) -> jnp.ndarray:
@@ -57,7 +58,7 @@ def _to_width(x: jnp.ndarray, width: int, fill=0.0) -> jnp.ndarray:
 def _quant_to_words(rows, bits: int, key, f_true: int, f_wire: int):
     """rows [N, F] -> (data words u32 [N, wpr], param words u32 [N])."""
     n = rows.shape[0]
-    if jax.default_backend() == "tpu" and rows.shape[1] % 128 == 0:
+    if tpu_path() and rows.shape[1] % 128 == 0:
         from ..ops import quant_pallas
 
         n_pad = -(-max(n, 1) // quant_pallas.ROW_BLOCK) * quant_pallas.ROW_BLOCK

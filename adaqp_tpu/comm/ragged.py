@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..common.backend import tpu_path
+
 
 def _emulate(operand, output, input_offsets, send_sizes, output_offsets,
              recv_sizes, axis: str, slice_cap: int):
@@ -62,7 +64,7 @@ def ragged_all_to_all(operand, output, input_offsets, send_sizes,
     returned with received slices written in; untouched rows keep their
     values. ``slice_cap`` is only used by the CPU emulation.
     """
-    if jax.default_backend() == "tpu":
+    if tpu_path():
         return lax.ragged_all_to_all(
             operand, output, input_offsets, send_sizes, output_offsets,
             recv_sizes, axis_name=axis,

@@ -280,16 +280,71 @@ def load_amazon_products(raw_dir: str) -> GraphData:
     return data
 
 
+def _read_csv(path: str, dtype) -> np.ndarray:
+    """Read an OGB csv / csv.gz (no header). Prefers pandas' C parser
+    (the 2.4M x 100 node-feat file takes minutes through np.loadtxt)."""
+    try:
+        import pandas as pd
+
+        return pd.read_csv(path, header=None).to_numpy(dtype=dtype)
+    except ImportError:
+        import gzip
+
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+
+
+def _ogb_file(base: str, *parts: str) -> str:
+    """Resolve an OGB raw file, accepting .csv.gz or .csv."""
+    p = os.path.join(base, *parts)
+    for cand in (p, p[:-3] if p.endswith(".gz") else p + ".gz"):
+        if os.path.exists(cand):
+            return cand
+    _require(p, "ogbn-products", "OGB raw csv layout.")
+    return p
+
+
+def _load_ogbn_products_raw(raw_dir: str) -> GraphData:
+    """ogbn-products directly from the OGB on-disk csv layout
+    (``<root>/ogbn_products/raw/*.csv.gz`` + ``split/sales_ranking/``),
+    so the `ogb` package is not required — the format the reference's
+    ``process_obg_dataset`` consumes through the package
+    (``AdaQP/helper/partition.py:10-30``)."""
+    base = raw_dir
+    for cand in (os.path.join(raw_dir, "ogbn_products"), raw_dir):
+        if os.path.isdir(os.path.join(cand, "raw")):
+            base = cand
+            break
+    n = int(_read_csv(_ogb_file(base, "raw", "num-node-list.csv.gz"), np.int64)[0, 0])
+    edges = _read_csv(_ogb_file(base, "raw", "edge.csv.gz"), np.int64)
+    feats = _read_csv(_ogb_file(base, "raw", "node-feat.csv.gz"), np.float32)
+    labels = _read_csv(
+        _ogb_file(base, "raw", "node-label.csv.gz"), np.int64
+    ).reshape(-1)
+    src, dst = edges[:, 0].astype(np.int32), edges[:, 1].astype(np.int32)
+    src, dst = _dedup_and_symmetrize(src, dst, n)
+    src, dst = normalize_self_loops(src, dst, n)
+    tm = np.zeros(n, bool)
+    vm = np.zeros(n, bool)
+    sm = np.zeros(n, bool)
+    split_dir = os.path.join(base, "split", "sales_ranking")
+    tm[_read_csv(_ogb_file(split_dir, "train.csv.gz"), np.int64).reshape(-1)] = True
+    vm[_read_csv(_ogb_file(split_dir, "valid.csv.gz"), np.int64).reshape(-1)] = True
+    sm[_read_csv(_ogb_file(split_dir, "test.csv.gz"), np.int64).reshape(-1)] = True
+    return GraphData(
+        n, src, dst, feats.astype(np.float32), labels.astype(np.int32),
+        tm, vm, sm, 47, False, "ogbn-products",
+    )
+
+
 def load_ogbn_products(raw_dir: str) -> GraphData:
-    """ogbn-products via the `ogb` package if installed, else raw csv/npz."""
+    """ogbn-products via the `ogb` package if installed, else directly from
+    the OGB raw csv layout (``_load_ogbn_products_raw``)."""
     try:
         from ogb.nodeproppred import NodePropPredDataset  # type: ignore
-    except ImportError as exc:
-        raise FileNotFoundError(
-            "ogbn-products requires the `ogb` package (not installed here) or "
-            "a pre-partitioned cache; use adaqp_tpu.graph to preprocess on a "
-            "machine with ogb available."
-        ) from exc
+    except ImportError:
+        return _load_ogbn_products_raw(raw_dir)
     ds = NodePropPredDataset("ogbn-products", root=raw_dir)
     graph, labels = ds[0]
     split = ds.get_idx_split()

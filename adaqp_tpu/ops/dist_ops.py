@@ -35,9 +35,30 @@ import jax
 import jax.numpy as jnp
 
 from ..comm.exchange import exchange_fp, exchange_quant, variance_proxy
+from ..common.backend import tpu_path
 from ..common.types import AggregatorType, GNNType
 from ..graph.device import ShardArrays, ShardStatic
 from .spmm import segment_spmm, spmm_csr
+
+
+_compact_downgrade_warned = False
+
+
+def _warn_compact_downgrade_once():
+    """Direct dist_aggregate callers with compact shards on a TPU whose
+    Mosaic gather probe fails would otherwise silently route into the
+    portable jnp path (HOURS at bench scale); mirror the Trainer's
+    redirect warning exactly once per process."""
+    global _compact_downgrade_warned
+    if not _compact_downgrade_warned:
+        _compact_downgrade_warned = True
+        import logging
+
+        logging.getLogger("trainer").warning(
+            "compact shards on a TPU without cross-vreg Mosaic gather: "
+            "falling back to the portable jnp compact path (orders of "
+            "magnitude slower at scale; use spmm_impl=block)"
+        )
 
 
 def _seg(src, dst, h, num_out, chunk):
@@ -147,7 +168,7 @@ def dist_aggregate(
         fl, bl, fh, bh = blocks.devices()
         kernel = spmm_compact if isinstance(fl, CompactDevice) else spmm_block
         dt = jnp.dtype(cfg.agg_dtype)
-        use_pallas = jax.default_backend() == "tpu" and h.shape[1] % 128 == 0
+        use_pallas = tpu_path() and h.shape[1] % 128 == 0
         if kernel is spmm_compact and use_pallas:
             # hardware gate: the compact kernel's window permutation needs a
             # cross-vreg Mosaic gather (spmm_compact.dynamic_gather_supported);
@@ -156,6 +177,8 @@ def dist_aggregate(
             from .spmm_compact import dynamic_gather_supported
 
             use_pallas = dynamic_gather_supported()
+            if not use_pallas:
+                _warn_compact_downgrade_once()
 
         def pair(hl, hr):
             # kernels emit dt (f32 accumulation inside); keeping the sum in

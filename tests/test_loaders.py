@@ -154,6 +154,71 @@ def test_yelp_end_to_end_train(graphsaint_dir, tmp_path):
     assert np.isfinite(rec["best"][1])  # multilabel micro-F1 pieces flow
 
 
+@pytest.fixture
+def ogb_products_dir(tmp_path, rng):
+    # OGB raw csv layout: <root>/ogbn_products/raw/*.csv.gz +
+    # split/sales_ranking/{train,valid,test}.csv.gz
+    import gzip
+
+    base = tmp_path / "ogb" / "ogbn_products"
+    (base / "raw").mkdir(parents=True)
+    (base / "split" / "sales_ranking").mkdir(parents=True)
+
+    def put(relpath, arr, fmt):
+        with gzip.open(str(base / relpath), "wt") as f:
+            np.savetxt(f, arr, delimiter=",", fmt=fmt)
+
+    adj = _random_adj(rng, N).tocoo()
+    put("raw/num-node-list.csv.gz", np.array([[N]]), "%d")
+    put("raw/edge.csv.gz", np.stack([adj.row, adj.col], 1), "%d")
+    put("raw/node-feat.csv.gz", rng.normal(size=(N, 10)).astype(np.float32), "%.6f")
+    put("raw/node-label.csv.gz", rng.integers(0, 47, (N, 1)), "%d")
+    perm = rng.permutation(N)
+    put("split/sales_ranking/train.csv.gz", perm[: int(0.6 * N)][:, None], "%d")
+    put("split/sales_ranking/valid.csv.gz",
+        perm[int(0.6 * N): int(0.8 * N)][:, None], "%d")
+    put("split/sales_ranking/test.csv.gz", perm[int(0.8 * N):][:, None], "%d")
+    return str(tmp_path / "ogb")
+
+
+def test_load_ogbn_products_raw_format(ogb_products_dir):
+    # the ogb package is absent here, so this exercises the raw-csv fallback
+    g = load_dataset("ogbn-products", ogb_products_dir)
+    assert g.num_nodes == N and g.num_feats == 10 and g.num_classes == 47
+    assert not g.multilabel
+    assert (g.src == g.dst).sum() == N  # exactly one self-loop per node
+    assert (g.train_mask | g.val_mask | g.test_mask).all()
+    assert not (g.train_mask & g.val_mask).any()
+    assert g.is_bidirected
+
+
+def test_ogbn_products_end_to_end_train(ogb_products_dir, tmp_path):
+    from adaqp_tpu.trainer import RunConfig, Trainer
+
+    cfg = RunConfig.from_yaml(
+        "ogbn-products",
+        {
+            "raw_dir": ogb_products_dir,
+            "num_parts": 4,
+            "num_epochs": 2,
+            "hidden_dim": 16,
+            "num_layers": 2,
+            "mode": "AdaQP-q",
+            "assign_scheme": "uniform",
+            "log_steps": 100,
+            "measure_breakdown": False,
+            "partition_dir": str(tmp_path / "parts"),
+            "exp_path": str(tmp_path / "exp"),
+        },
+    )
+    t = Trainer(cfg)
+    rec = t.train()
+    assert np.isfinite(rec["best"][1])
+
+
 def test_missing_raw_files_error(tmp_path):
     with pytest.raises(FileNotFoundError, match="reddit"):
         load_dataset("reddit", str(tmp_path / "nope"))
+
+    with pytest.raises(FileNotFoundError, match="ogbn-products"):
+        load_dataset("ogbn-products", str(tmp_path / "nope"))

@@ -111,6 +111,24 @@ def test_breakdown_buckets_recorded(tmp_path):
         assert val > 0.0, f"{bucket} bucket is zero in the time CSV"
 
 
+def test_breakdown_buckets_block_impl(tmp_path):
+    # the probe must time the CONFIGURED kernel: a block-impl run's
+    # Central/Marginal buckets come from the bitmask kernel path, not the
+    # segment fallback (round-2 VERDICT weak #3)
+    t, rec = _run(
+        tmp_path, mode="AdaQP", assign_scheme="uniform", num_epochs=3,
+        measure_breakdown=True, spmm_impl="block",
+    )
+    assert t.cfg.spmm_impl == "block" and t.blocks is not None
+    base = os.path.join(str(tmp_path / "exp"), "sbm320", "4part", "gcn")
+    csv = np.genfromtxt(
+        os.path.join(base, "time", "AdaQP_uniform.csv"), delimiter=",", names=True
+    )
+    for bucket in ("Comm", "Quant", "Central", "Marginal"):
+        val = np.atleast_1d(csv[bucket])[0]
+        assert val > 0.0, f"{bucket} bucket is zero in the time CSV"
+
+
 def test_partition_cache_roundtrip(tmp_path):
     t1, _ = _run(tmp_path, num_epochs=2)
     cache = os.listdir(str(tmp_path / "parts"))
