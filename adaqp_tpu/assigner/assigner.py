@@ -94,16 +94,32 @@ def _group_channel(
     return groups, np.asarray(gvar), np.asarray(gcount, np.int64)
 
 
+def _chan_ab(alpha, beta, key: Tuple[int, int]) -> Tuple[float, float]:
+    """Per-channel (alpha, beta): scalars broadcast; [K, K] arrays index by
+    the ordered (sender, receiver) pair (reference fits per channel,
+    ``profile.py:97-106``)."""
+    if np.ndim(alpha) == 0:
+        return float(alpha), float(beta)
+    s, r = key
+    a = float(alpha[s, r])
+    b = float(beta[s, r])
+    if a <= 0.0:  # unprofiled channel (e.g. zero-traffic): neutral fallback
+        nz = np.asarray(alpha)[np.asarray(alpha) > 0]
+        a = float(nz.mean()) if nz.size else 1.0
+    return a, b
+
+
 def _solve_direction(
     problems: List[ChannelProblem],
     cfg: AssignerConfig,
-    alpha: float,
-    beta: float,
+    alpha,
+    beta,
     wire_feats: Optional[int] = None,
 ) -> Dict[Tuple[int, int], np.ndarray]:
     """Solve one layer-direction MILP; returns per-channel array of group
     bit choices (len == #groups). ``wire_feats`` overrides the config's
-    message dim (layer-0 messages carry features, deeper layers hidden)."""
+    message dim (layer-0 messages carry features, deeper layers hidden).
+    ``alpha``/``beta`` are scalars or per-channel [K, K] arrays."""
     if not problems:
         return {}
     from ..comm.wire import wire_cols
@@ -113,6 +129,7 @@ def _solve_direction(
     # bytes per message at width b: word-aligned packed width (the exact
     # layout the ragged wire ships, comm/wire.py) + params overhead
     msg_bytes = {b: wire_cols(wf, b) * b / 8.0 + cfg.param_bytes for b in BITS_SET}
+    ab = {id(pr): _chan_ab(alpha, beta, pr.key) for pr in problems}
     # flatten variables x[c, g, b]
     var_index = {}
     idx = 0
@@ -128,9 +145,11 @@ def _solve_direction(
     v_max = sum(
         pr.group_var.sum() * bits_cost(min(BITS_SET)) for pr in problems
     )
-    t_max = alpha * max(
-        (pr.group_count.sum() * msg_bytes[max(BITS_SET)]) / 1e6 for pr in problems
-    ) + beta
+    t_max = max(
+        ab[id(pr)][0] * (pr.group_count.sum() * msg_bytes[max(BITS_SET)]) / 1e6
+        + ab[id(pr)][1]
+        for pr in problems
+    )
     v_max = max(v_max, 1e-12)
     t_max = max(t_max, 1e-12)
 
@@ -160,18 +179,20 @@ def _solve_direction(
             rhs_lo.append(1.0)
             rhs_hi.append(1.0)
             r += 1
-    # makespan: alpha * MB_c + beta <= Z  for every channel
+    # makespan: alpha_c * MB_c + beta_c <= Z  for every channel, with the
+    # CHANNEL's own profiled coefficients (per-pair on mixed fabrics)
     for ci, pr in enumerate(problems):
+        a_c, b_c = ab[id(pr)]
         for g, cnt in enumerate(pr.group_count):
             for bi, b in enumerate(BITS_SET):
                 rows.append(r)
                 cols.append(var_index[(ci, g, bi)])
-                vals.append(alpha * cnt * msg_bytes[b] / 1e6)
+                vals.append(a_c * cnt * msg_bytes[b] / 1e6)
         rows.append(r)
         cols.append(z_idx)
         vals.append(-1.0)
         rhs_lo.append(-np.inf)
-        rhs_hi.append(-beta)
+        rhs_hi.append(-b_c)
         r += 1
     a_mat = sparse.csr_matrix((vals, (rows, cols)), shape=(r, n_vars))
     constraints = LinearConstraint(a_mat, np.asarray(rhs_lo), np.asarray(rhs_hi))
@@ -215,8 +236,10 @@ class Assigner:
         plan: ExchangePlan,
         num_layers: int,
         cfg: AssignerConfig,
-        cost_model: Tuple[float, float] = (1.0, 0.1),
+        cost_model: Tuple = (1.0, 0.1),
     ):
+        """``cost_model``: (alpha, beta) — scalars, or per-channel [K, K]
+        arrays from :func:`adaqp_tpu.assigner.profile.fit_cost_model`."""
         self.plan = plan
         self.num_layers = num_layers
         self.cfg = cfg

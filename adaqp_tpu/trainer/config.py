@@ -82,6 +82,10 @@ class RunConfig:
     # assignment
     assign_cycle: int = 50
     profile_data_length: int = 8  # #payload sizes for cost-model profiling
+    # channel resolution of the alpha-beta probes: "offset" = K-1 ppermute
+    # rotations (one curve per ring-offset link class), "pair" = K*(K-1)
+    # singleton probes (exact ordered pairs, reference profile.py:46-83)
+    profile_mode: str = "offset"
     group_size: int = 100
     coe_lambda: float = 0.5
     assign_bits: int = 8

@@ -232,9 +232,20 @@ class Trainer:
                     self.mesh,
                     max_bytes_per_pair=plan.s_pad * (self.static.f_pad + 4),
                     num_sizes=cfg.profile_data_length,
+                    mode=cfg.profile_mode,
                 )
                 cost_model = fit_cost_model(sizes, times)
-                logger.info("profiled cost model alpha=%.4f ms/MB beta=%.4f ms", *cost_model)
+                a, b = cost_model
+                nz = np.asarray(a)[np.asarray(a) > 0]
+                logger.info(
+                    "profiled per-channel cost model (%s): alpha %.4f-%.4f "
+                    "ms/MB (mean %.4f), beta mean %.4f ms",
+                    cfg.profile_mode,
+                    float(nz.min()) if nz.size else 0.0,
+                    float(nz.max()) if nz.size else 0.0,
+                    float(nz.mean()) if nz.size else 0.0,
+                    float(np.asarray(b).mean()),
+                )
             else:
                 cost_model = (1.0, 0.1)
             self.assigner = Assigner(plan, cfg.num_layers, acfg, cost_model)

@@ -68,6 +68,10 @@ def parse_args():
     p.add_argument("--log_hbm", action="store_true", default=None,
                    help="log the compiled train step's device-memory "
                         "footprint before the first step")
+    p.add_argument("--profile_mode", type=str, default=None,
+                   choices=["offset", "pair"],
+                   help="cost-model probe resolution: per ring-offset link "
+                        "class (K-1 collectives) or per ordered pair")
     p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--resume", action="store_true", default=None)
     return p.parse_args()
