@@ -93,19 +93,9 @@ def _words_to_rows(words, pwords, bits: int, f_true: int, f_wire: int, f_pad: in
     return _to_width(x, f_pad)
 
 
-def _run_dir(
-    w: WireDir,
-    src: jnp.ndarray,
-    out_len: int,
-    scatter_add: bool,
-    key,
-    f_true: int,
-    f_pad: int,
-    axis: str,
-) -> jnp.ndarray:
-    """One direction of the exchange for this shard: quantize ``src`` rows
-    into the send buffer, ragged-all-to-all, dequantize into a fresh
-    ``[out_len, f_pad]`` destination (``.set`` fwd / ``.add`` bwd)."""
+def pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
+    """Quantize+pack this shard's ``src`` rows into the exact-layout send
+    buffer (uint32 [sb_cap]) — the half of the exchange before the wire."""
     sendbuf = jnp.zeros((w.sb_cap,), jnp.uint32)
     for bi, b in enumerate(w.bits):
         cap = w.q_rows[bi].shape[0]
@@ -138,18 +128,19 @@ def _run_dir(
             )
         if pword is not None:
             sendbuf = sendbuf.at[w.q_poff[bi]].set(pword, mode="drop")
+    return sendbuf
 
-    recvbuf = ragged_all_to_all(
-        sendbuf,
-        jnp.zeros((w.rb_cap,), jnp.uint32),
-        w.in_off,
-        w.send_sz,
-        w.out_off,
-        w.recv_sz,
-        axis,
-        w.slice_cap,
-    )
 
+def unpack_dir(
+    w: WireDir,
+    recvbuf: jnp.ndarray,
+    out_len: int,
+    scatter_add: bool,
+    f_true: int,
+    f_pad: int,
+) -> jnp.ndarray:
+    """Dequantize+scatter a received wire buffer into a fresh
+    ``[out_len, f_pad]`` destination — the half after the wire."""
     out = jnp.zeros((out_len, f_pad), jnp.float32)
     for bi, b in enumerate(w.bits):
         cap = w.d_rows[bi].shape[0]
@@ -175,6 +166,33 @@ def _run_dir(
         ref = out.at[w.d_rows[bi]]
         out = ref.add(rows, mode="drop") if scatter_add else ref.set(rows, mode="drop")
     return out
+
+
+def _run_dir(
+    w: WireDir,
+    src: jnp.ndarray,
+    out_len: int,
+    scatter_add: bool,
+    key,
+    f_true: int,
+    f_pad: int,
+    axis: str,
+) -> jnp.ndarray:
+    """One direction of the exchange for this shard: quantize ``src`` rows
+    into the send buffer, ragged-all-to-all, dequantize into a fresh
+    ``[out_len, f_pad]`` destination (``.set`` fwd / ``.add`` bwd)."""
+    sendbuf = pack_dir(w, src, key, f_true)
+    recvbuf = ragged_all_to_all(
+        sendbuf,
+        jnp.zeros((w.rb_cap,), jnp.uint32),
+        w.in_off,
+        w.send_sz,
+        w.out_off,
+        w.recv_sz,
+        axis,
+        w.slice_cap,
+    )
+    return unpack_dir(w, recvbuf, out_len, scatter_add, f_true, f_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
