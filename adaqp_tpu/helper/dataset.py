@@ -142,9 +142,19 @@ def rmat_graph(
     a: float = 0.57,
     b: float = 0.19,
     c: float = 0.19,
+    structured: bool = False,
+    hint: float = 1.5,
 ) -> GraphData:
     """R-MAT power-law graph at benchmark scale (synthetic stand-in for
-    Reddit/ogbn-products; no dataset download possible in this environment)."""
+    Reddit/ogbn-products; no dataset download possible in this environment).
+
+    ``structured=True`` makes the task LEARNABLE at scale: labels come from
+    each node's high id bits — R-MAT's recursive quadrant bias makes
+    same-prefix nodes preferentially connected, so the label is a real
+    community signal — and features carry a weak class hint the GNN must
+    denoise through aggregation (the same oracle construction as
+    ``sbm_graph``, at power-law scale; used by the scaled accuracy-parity
+    harness, round-2 VERDICT missing #8)."""
     rng = np.random.default_rng(seed)
     e = n * avg_degree
     scale = int(np.ceil(np.log2(n)))
@@ -164,10 +174,19 @@ def rmat_graph(
     src, dst = _dedup_and_symmetrize(src, dst, n)
     src, dst = normalize_self_loops(src, dst, n)
     feats = rng.normal(size=(n, num_feats)).astype(np.float32)
-    labels = rng.integers(0, num_classes, n).astype(np.int32)
+    if structured:
+        # label = high id bits (R-MAT communities) + weak feature hint
+        shift = max(scale - int(np.ceil(np.log2(num_classes))), 0)
+        labels = (np.arange(n, dtype=np.int64) >> shift) % num_classes
+        labels = labels.astype(np.int32)
+        onehot = np.eye(max(num_classes, num_feats), num_feats, dtype=np.float32)
+        feats += onehot[labels] * hint
+    else:
+        labels = rng.integers(0, num_classes, n).astype(np.int32)
     tm, vm, sm = _split_masks(rng, n)
     return GraphData(
-        n, src, dst, feats, labels, tm, vm, sm, num_classes, False, f"rmat{n}"
+        n, src, dst, feats, labels, tm, vm, sm, num_classes, False,
+        f"rmat{n}s" if structured else f"rmat{n}",
     )
 
 
