@@ -61,6 +61,19 @@ def _warn_compact_downgrade_once():
         )
 
 
+def pick_block_kernel(dev):
+    """Tile-kernel dispatch by device-layout type (block/compact/strip)."""
+    from .spmm_block import spmm_block
+    from .spmm_compact import CompactDevice, spmm_compact
+    from .spmm_strip import StripDevice, spmm_strip
+
+    if isinstance(dev, CompactDevice):
+        return spmm_compact
+    if isinstance(dev, StripDevice):
+        return spmm_strip
+    return spmm_block
+
+
 def _seg(src, dst, h, num_out, chunk):
     if chunk is None:
         return segment_spmm(src, dst, None, h, num_out)
@@ -161,12 +174,12 @@ def dist_aggregate(
     l = cfg.l_max
     if blocks is not None:
         # bitmask-MXU kernels (Pallas on TPU, jnp fallback elsewhere):
-        # v1 full-bitmask (BlockShards) or v2 compact-column (CompactShards)
-        from .spmm_block import spmm_block
+        # v1 full-bitmask (BlockShards), v2 compact-column (CompactShards),
+        # or v3 strip window-reuse (StripShards)
         from .spmm_compact import CompactDevice, spmm_compact
 
         fl, bl, fh, bh = blocks.devices()
-        kernel = spmm_compact if isinstance(fl, CompactDevice) else spmm_block
+        kernel = pick_block_kernel(fl)
         dt = jnp.dtype(cfg.agg_dtype)
         use_pallas = tpu_path() and h.shape[1] % 128 == 0
         if kernel is spmm_compact and use_pallas:

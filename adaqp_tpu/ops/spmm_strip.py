@@ -99,13 +99,16 @@ class StripDevice:
     tile_src: jnp.ndarray
     tile_dst: jnp.ndarray
     straggler: Optional[EllDevice]
+    # per-shard REAL window count ([1] i32) for shard-padded grids whose
+    # win_src is padded to the shard max; None derives it from win_src
+    n_win: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_pytree_node(
     StripDevice,
     lambda b: (
         (b.masks, b.win_src, b.w_ord, b.out_idx, b.sub, b.flags, b.mask_idx,
-         b.tile_src, b.tile_dst, b.straggler),
+         b.tile_src, b.tile_dst, b.straggler, b.n_win),
         (b.n, b.n_pad, b.n_src_pad),
     ),
     lambda aux, leaves: StripDevice(*aux, *leaves),
@@ -268,8 +271,8 @@ def strip_layout(
 
 
 def _strip_kernel(
-    f: int, n_win: int,
-    ws_ref, wo_ref, oi_ref, sub_ref, fl_ref, mi_ref,
+    f: int,
+    nw_ref, ws_ref, wo_ref, oi_ref, sub_ref, fl_ref, mi_ref,
     mask_ref, h_ref, out_ref, win, sems, acc,
 ):
     from jax.experimental import pallas as pl
@@ -292,7 +295,10 @@ def _strip_kernel(
 
     win_first = (fl & _F_WIN_FIRST) != 0
 
-    @pl.when(jnp.logical_and(win_first, w + 1 < n_win))
+    # per-shard window count rides prefetch so shard-padded grids stop
+    # prefetching at THEIR last real window (an unwaited DMA would leave a
+    # stale semaphore signal and race the slot's next occupant)
+    @pl.when(jnp.logical_and(win_first, w + 1 < nw_ref[0]))
     def _():
         dma(w + 1).start()
 
@@ -342,21 +348,22 @@ def _run_strip_pallas(layout: StripDevice, h: jnp.ndarray, interpret: bool = Fal
     n_src_pad, f = h.shape
     assert n_src_pad == layout.n_src_pad, (n_src_pad, layout.n_src_pad)
     t2 = layout.w_ord.shape[0]
-    n_win = layout.win_src.shape[0] - 1
+    n_win = jnp.asarray([layout.win_src.shape[0] - 1], jnp.int32) \
+        if layout.n_win is None else layout.n_win
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(t2,),
         in_specs=[
             pl.BlockSpec(
                 (1, BD, WORDS),
-                lambda i, ws, wo, oi, sub, fl, mi: (mi[i], 0, 0),
+                lambda i, nw, ws, wo, oi, sub, fl, mi: (mi[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # h stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (BD, f),
-            lambda i, ws, wo, oi, sub, fl, mi: (oi[i], 0),
+            lambda i, nw, ws, wo, oi, sub, fl, mi: (oi[i], 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -366,7 +373,7 @@ def _run_strip_pallas(layout: StripDevice, h: jnp.ndarray, interpret: bool = Fal
         ],
     )
     return pl.pallas_call(
-        functools.partial(_strip_kernel, f, n_win),
+        functools.partial(_strip_kernel, f),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((layout.n_pad, f), h.dtype),
         interpret=interpret,
@@ -374,7 +381,7 @@ def _run_strip_pallas(layout: StripDevice, h: jnp.ndarray, interpret: bool = Fal
             vmem_limit_bytes=int(14.5 * 1024 * 1024),
         ),
     )(
-        layout.win_src, layout.w_ord, layout.out_idx, layout.sub,
+        n_win, layout.win_src, layout.w_ord, layout.out_idx, layout.sub,
         layout.flags, layout.mask_idx, layout.masks, h,
     )
 

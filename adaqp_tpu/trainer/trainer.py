@@ -96,7 +96,7 @@ class Trainer:
         part_id = self._load_or_partition()
         # the bitmask-MXU SpMM needs rows padded to its 2048 source-tile
         # grid; Pallas kernels want lane-aligned (128) features
-        if cfg.spmm_impl == "block":
+        if cfg.spmm_impl in ("block", "strip"):
             pad_multiple, feat_multiple = 2048, 128
         elif cfg.spmm_impl == "compact":
             # compact F-chunks are 384/256/128 lanes (spmm_compact._f_chunk):
@@ -136,7 +136,7 @@ class Trainer:
             )
         self.sh = put_sharded(host_sh, self.mesh)
         self.blocks = None
-        if cfg.spmm_impl in ("block", "compact"):
+        if cfg.spmm_impl in ("block", "compact", "strip"):
             spec = jax.sharding.NamedSharding(self.mesh, P("part"))
             if cfg.spmm_impl == "block":
                 from ..graph.block_shards import build_block_shards
@@ -146,6 +146,13 @@ class Trainer:
                     # reuse the layout cache's identity: tile packing at
                     # 100M-edge scale costs ~15 host-minutes per start
                     cache_prefix=lay_cache + "_blk",
+                )
+            elif cfg.spmm_impl == "strip":
+                from ..graph.strip_shards import build_strip_shards
+
+                shards = build_strip_shards(
+                    self.layout, min_edges=cfg.block_min_edges,
+                    cache_prefix=lay_cache + "_stp",
                 )
             else:
                 from ..graph.compact_shards import build_compact_shards
@@ -188,7 +195,7 @@ class Trainer:
         self.val_count = float(self.graph.val_mask.sum())
         self.test_count = float(self.graph.test_mask.sum())
 
-        if cfg.spmm_impl in ("block", "compact") and cfg.hidden_dim % 128:
+        if cfg.spmm_impl in ("block", "compact", "strip") and cfg.hidden_dim % 128:
             logger.warning(
                 "hidden_dim=%d is not a 128-lane multiple: on TPU the "
                 "bitmask-MXU kernel falls back to the slow portable tile "
@@ -569,25 +576,19 @@ class Trainer:
         use_pallas = jax.default_backend() == "tpu"
         dt = jnp.dtype(self.cfg.agg_dtype)
 
+        from ..ops.dist_ops import pick_block_kernel
+
         def agg_local(s, blk, h):
             if blk is None:
                 return segment_spmm(s.fl_src, s.fl_dst, None, h, st.l_max)
-            from ..ops.spmm_block import spmm_block
-            from ..ops.spmm_compact import CompactDevice, spmm_compact
-
             fl, _, _, _ = blk.devices()
-            kernel = spmm_compact if isinstance(fl, CompactDevice) else spmm_block
-            return kernel(fl, h.astype(dt), None, use_pallas)
+            return pick_block_kernel(fl)(fl, h.astype(dt), None, use_pallas)
 
         def agg_halo(s, blk, remote):
             if blk is None:
                 return segment_spmm(s.fh_src, s.fh_dst, None, remote, st.l_max)
-            from ..ops.spmm_block import spmm_block
-            from ..ops.spmm_compact import CompactDevice, spmm_compact
-
             _, _, fh, _ = blk.devices()
-            kernel = spmm_compact if isinstance(fh, CompactDevice) else spmm_block
-            return kernel(fh, remote.astype(dt), None, use_pallas)
+            return pick_block_kernel(fh)(fh, remote.astype(dt), None, use_pallas)
 
         for layer, d in enumerate(dims):
             # layer 0 has no backward exchange; others run fwd + bwd

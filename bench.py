@@ -120,7 +120,18 @@ def synth_reddit(n, e, f, c, seed=0):
 def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
               min_edges=512, impl="block", me_ell=64, full_cols=1024):
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
-    cmp_pair = blk_pair = None
+    cmp_pair = blk_pair = stp_pair = None
+    if impl == "strip":
+        from adaqp_tpu.ops.spmm_strip import strip_layout
+
+        log(f"building strip layout (host, one-time), min_edges={min_edges}")
+        key = os.path.join(CACHE_DIR, f"stp_u_{n}_{e}_me{min_edges}")
+        fwd = strip_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
+        bwd = strip_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
+        log(f"tiles fwd={fwd.tile_src.shape[0]} windows={fwd.win_src.shape[0]-1} "
+            f"bwd={bwd.tile_src.shape[0]}")
+        feat_mult = 128
+        stp_pair = (fwd, bwd)
     if impl in ("compact", "mixed"):
         if jax.devices()[0].platform != "tpu":
             # the portable fallback unrolls one jit op per work item — at
@@ -175,6 +186,7 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         cmp_pair[0].n_pad == blk_pair[0].n_pad
         and cmp_pair[0].n_src_pad == blk_pair[0].n_pad
     )
+    assert stp_pair is None or stp_pair[0].n_src_pad == n_pad
 
     deg_in = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float32)
     deg_out = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float32)
@@ -206,6 +218,8 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         lay_dev["blk"] = (blk_pair[0].to_device(), blk_pair[1].to_device())
     if cmp_pair is not None:
         lay_dev["cmp"] = (cmp_pair[0].to_device(), cmp_pair[1].to_device())
+    if stp_pair is not None:
+        lay_dev["stp"] = (stp_pair[0].to_device(), stp_pair[1].to_device())
     f = f_pad
 
     import optax
@@ -239,11 +253,17 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
             # passes ride the compact kernel (h widths are trace-static)
             if impl == "mixed":
                 which = "cmp" if hs.shape[1] == hidden else "blk"
+            elif impl == "compact":
+                which = "cmp"
+            elif impl == "strip":
+                which = "stp"
             else:
-                which = "cmp" if impl == "compact" else "blk"
+                which = "blk"
             fd, bd = lay_dev[which]
             if which == "cmp":
                 from adaqp_tpu.ops.spmm_compact import spmm_compact as fn
+            elif which == "stp":
+                from adaqp_tpu.ops.spmm_strip import spmm_strip as fn
             else:
                 from adaqp_tpu.ops.spmm_block import spmm_block as fn
             out = fn(fd, hs, bd, use_pallas).astype(jnp.float32)
@@ -337,10 +357,11 @@ def main():
     # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
     p.add_argument("--min_edges", type=int, default=192)
     p.add_argument("--impl", type=str, default="block",
-                   choices=["block", "compact", "mixed"],
-                   help="raw-loop aggregation kernel (compact = v2 window-reuse "
-                        "+ column-compaction; mixed = block for layer 0, "
-                        "compact for hidden passes)")
+                   choices=["block", "compact", "mixed", "strip"],
+                   help="raw-loop aggregation kernel (strip = v3 per-strip "
+                        "window reuse; compact = v2 window-reuse + column-"
+                        "compaction, retired on this chip; mixed = block for "
+                        "layer 0, compact for hidden passes)")
     p.add_argument("--me_ell", type=int, default=64,
                    help="compact: regions below this edge count go to ELL")
     p.add_argument("--full_cols", type=int, default=1024,
