@@ -356,7 +356,7 @@ def main():
     # tile-vs-ELL split threshold: in-situ tile cost ~3.3us and ELL gather
     # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
     p.add_argument("--min_edges", type=int, default=192)
-    p.add_argument("--impl", type=str, default="block",
+    p.add_argument("--impl", type=str, default="strip",
                    choices=["block", "compact", "mixed", "strip"],
                    help="raw-loop aggregation kernel (strip = v3 per-strip "
                         "window reuse; compact = v2 window-reuse + column-"

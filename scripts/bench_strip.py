@@ -36,17 +36,19 @@ N, E, F0 = 232_965, 114_615_892, 602
 
 def time_pass(run, dev, h, iters):
     @jax.jit
-    def loop(h):
-        def body(k, acc):
-            return acc + run(dev, h)[:8, :8]
+    def loop(dev, h):
+        # chain iterations through h: a loop-invariant body would be
+        # hoisted by XLA and time ONE pass regardless of iters
+        def body(k, hh):
+            return hh + run(dev, hh).astype(hh.dtype) * 1e-6
 
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros((8, 8), h.dtype))
+        return jax.lax.fori_loop(0, iters, body, h)[:8, :8]
 
-    out = loop(h)
+    out = loop(dev, h)
     jax.block_until_ready(out)
     _ = float(jnp.asarray(out).astype(jnp.float32).sum())
     t0 = time.perf_counter()
-    out = loop(h)
+    out = loop(dev, h)
     _ = float(jnp.asarray(out).astype(jnp.float32).sum())
     return (time.perf_counter() - t0) / iters
 
