@@ -38,8 +38,8 @@ def main():
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--min_edges", type=int, default=192)
-    p.add_argument("--impl", type=str, default="block",
-                   choices=["block", "compact"],
+    p.add_argument("--impl", type=str, default="strip",
+                   choices=["block", "compact", "strip"],
                    help="aggregation kernel (raw loop and trainer)")
     p.add_argument("--me_ell", type=int, default=64)
     p.add_argument("--full_cols", type=int, default=1024)
@@ -100,16 +100,24 @@ def main():
             src, dst, N, me_ell=args.me_ell, full_cols=args.full_cols,
             cache_key=f"{key}_cmp_me{args.me_ell}_fc{args.full_cols}",
         )
+    elif args.impl == "strip":
+        from adaqp_tpu.ops.spmm_strip import strip_layout
+        from adaqp_tpu.ops.spmm_strip import spmm_strip as spmm_kernel
+
+        lay = strip_layout(
+            src, dst, N, min_edges=args.min_edges,
+            cache_key=f"{key}_stp_me{args.min_edges}",
+        )
     else:
         spmm_kernel = spmm_block
         lay = block_layout(
             src, dst, N, min_edges=args.min_edges,
             cache_key=f"{key}_blk_me{args.min_edges}",
         )
-    print(
-        f"layout {time.perf_counter() - t0:.0f}s items={lay.masks.shape[0]}",
-        flush=True,
+    n_items = (
+        lay.tile_src.shape[0] if args.impl == "strip" else lay.masks.shape[0]
     )
+    print(f"layout {time.perf_counter() - t0:.0f}s items={n_items}", flush=True)
     dev = lay.to_device()
     n_pad = lay.n_pad
     f_pad = 128
