@@ -289,7 +289,10 @@ def _strip_kernel(
             h_ref.at[pl.ds(start, BS), :], win.at[slot], sems.at[slot]
         )
 
-    @pl.when(i == 0)
+    # warmup ONLY when a real window exists: a flush-only layout (empty
+    # halo group at K=1) would otherwise start a DMA nothing ever waits,
+    # leaving a stale semaphore signal for the next kernel invocation
+    @pl.when(jnp.logical_and(i == 0, nw_ref[0] > 0))
     def _():
         dma(0).start()
 

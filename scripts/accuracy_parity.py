@@ -37,8 +37,12 @@ SCALE = {
     "synth_kwargs": {"n": 1 << 17, "avg_degree": 16, "num_feats": 128,
                      "num_classes": 32, "seed": 7, "structured": True,
                      "hint": 2.5},
-    "num_parts": 8, "hidden_dim": 128, "num_epochs": 40, "assign_cycle": 10,
+    "num_parts": 8, "hidden_dim": 128, "num_epochs": 30, "assign_cycle": 10,
     "learning_rate": 0.03, "dropout_rate": 0.2,
+    # METIS cut (reference partitioner): the ldg partition of this
+    # power-law graph leaves a 4x-local halo and quadruples the CPU-mesh
+    # epoch; the accuracy question is partition-independent
+    "partition_method": "metis", "profile_data_length": 2,
 }
 
 
