@@ -272,15 +272,20 @@ def strip_layout(
 
 def _strip_kernel(
     f: int,
-    nw_ref, ws_ref, wo_ref, oi_ref, sub_ref, fl_ref, mi_ref,
+    nw_ref, ws_ref, meta_ref, oi_ref, mi_ref,
     mask_ref, h_ref, out_ref, win, sems, acc,
 ):
+    """``meta_ref[i] = w_ord*64 | flags*8 | sub`` — packed so the prefetch
+    arrays fit SMEM (1 MB total; 5 separate i32 arrays overflow it above
+    ~50K grid steps — hit at min_edges=128 on the bench graph)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    fl = fl_ref[i]
-    w = wo_ref[i]
+    meta = meta_ref[i]
+    sub = jax.lax.rem(meta, 8)
+    fl = jax.lax.rem(meta // 8, 8)
+    w = meta // 64
 
     def dma(wi):
         start = pl.multiple_of(ws_ref[wi], BS)
@@ -312,8 +317,6 @@ def _strip_kernel(
     @pl.when((fl & _F_STRIP_FIRST) != 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
-
-    sub = sub_ref[i]
 
     @pl.when((fl & _F_FLUSH) == 0)
     def _():
@@ -353,20 +356,21 @@ def _run_strip_pallas(layout: StripDevice, h: jnp.ndarray, interpret: bool = Fal
     t2 = layout.w_ord.shape[0]
     n_win = jnp.asarray([layout.win_src.shape[0] - 1], jnp.int32) \
         if layout.n_win is None else layout.n_win
+    meta = layout.w_ord * 64 + layout.flags * 8 + layout.sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=5,
         grid=(t2,),
         in_specs=[
             pl.BlockSpec(
                 (1, BD, WORDS),
-                lambda i, nw, ws, wo, oi, sub, fl, mi: (mi[i], 0, 0),
+                lambda i, nw, ws, meta, oi, mi: (mi[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # h stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (BD, f),
-            lambda i, nw, ws, wo, oi, sub, fl, mi: (oi[i], 0),
+            lambda i, nw, ws, meta, oi, mi: (oi[i], 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -384,8 +388,8 @@ def _run_strip_pallas(layout: StripDevice, h: jnp.ndarray, interpret: bool = Fal
             vmem_limit_bytes=int(14.5 * 1024 * 1024),
         ),
     )(
-        n_win, layout.win_src, layout.w_ord, layout.out_idx, layout.sub,
-        layout.flags, layout.mask_idx, layout.masks, h,
+        n_win, layout.win_src, meta, layout.out_idx, layout.mask_idx,
+        layout.masks, h,
     )
 
 
