@@ -233,6 +233,7 @@ class Trainer:
                 coe_lambda=cfg.coe_lambda,
                 assign_bits=cfg.assign_bits,
                 wire_feats=self.layout.f_true,
+                normal_mode=cfg.normal_mode,
             )
             if self.scheme is Scheme.ADAPTIVE:
                 sizes, times = profile_cost_model(
@@ -427,7 +428,23 @@ class Trainer:
 
         # donate params/opt_state/trace accumulators: they are replaced every
         # step, so XLA can update them in place instead of double-buffering
-        return jax.jit(step, donate_argnums=(0, 1, 4, 5))
+        return jax.jit(
+            step, donate_argnums=(0, 1, 4, 5),
+            compiler_options=self._compiler_options(),
+        )
+
+    def _compiler_options(self):
+        """Async-collective + latency-hiding scheduler options on multi-chip
+        TPU: they split the ragged all-to-all into start/done and let the
+        scheduler hoist the central SpMM into the window — the reference's
+        bi-level parallelization (``AdaQP/model/ops.py:156-193``) as a
+        compiler property. Serialized modes keep their optimization_barrier,
+        so Vanilla/AdaQP-q schedules are unchanged by these options."""
+        if self.k > 1 and jax.default_backend() == "tpu":
+            from ..utils.aot import OVERLAP_COMPILER_OPTIONS
+
+            return dict(OVERLAP_COMPILER_OPTIONS)
+        return None
 
     def _log_hbm_analysis(self):
         """AOT-compile the current train step and log its device-memory
@@ -497,7 +514,7 @@ class Trainer:
             counts = jnp.asarray([self.train_count, self.val_count, self.test_count])
             return pieces / counts
 
-        return jax.jit(step)
+        return jax.jit(step, compiler_options=self._compiler_options())
 
     # ------------------------------------------------------------------
     def _wire_sig(self):
