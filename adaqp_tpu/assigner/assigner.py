@@ -23,7 +23,15 @@ Math kept from the reference:
 - messages sorted by combined variance descending and grouped into
   ``group_size`` chunks per channel; one bit-width per group;
 - objective ``lambda * Vnorm(sum var) + (1-lambda) * Tnorm(makespan)``
-  with magnitude normalization (``assigner.py:312-431``);
+  with both normalization modes (``assigner.py:312-431``): ``magnitude``
+  divides each objective by its worst-case magnitude; ``nadir_utopia``
+  (the reference's effective default — no call site overrides it,
+  ``assigner.py:312``) scales by the PARETO RANGE ``(nadir - utopia)`` of
+  each objective, so a given lambda trades normalized-range units instead
+  of magnitude fractions. One deviation: the reference's per-round time
+  utopia takes the *min over channels* at 2 bits (``assigner.py:351-360``),
+  which under-shoots the achievable makespan; our single-all-to-all Z's
+  utopia is the achievable minimum ``max_c(alpha_c * bytes_c(2) + beta_c)``;
 - one independent problem per layer-direction: forward 0..L-1, backward
   1..L-1 (2L-1 solves, ``assigner.py:275-285``).
 """
@@ -67,6 +75,9 @@ class AssignerConfig:
     # what makes HiGHS run to the time limit; the assignment objective is a
     # heuristic trade-off to begin with (reference tolerates CBC defaults)
     mip_rel_gap: float = 0.01
+    # objective normalization: "nadir_utopia" (reference effective default,
+    # assigner.py:312) or "magnitude" (assigner.py:319-335)
+    normal_mode: str = "nadir_utopia"
 
 
 @dataclass
@@ -141,24 +152,35 @@ def _solve_direction(
     z_idx = idx
     n_vars = idx + 1
 
-    # normalizers (magnitude normalization, reference assigner.py:404-419)
-    v_max = sum(
-        pr.group_var.sum() * bits_cost(min(BITS_SET)) for pr in problems
-    )
-    t_max = max(
-        ab[id(pr)][0] * (pr.group_count.sum() * msg_bytes[max(BITS_SET)]) / 1e6
-        + ab[id(pr)][1]
-        for pr in problems
-    )
-    v_max = max(v_max, 1e-12)
-    t_max = max(t_max, 1e-12)
+    # normalizers (reference assigner.py:317-361). Constant offsets drop out
+    # of argmin, so both modes reduce to a pair of denominators:
+    #   magnitude:    V / v_den + Z / t_den  with worst-case magnitudes
+    #   nadir_utopia: (V - Vu)/(Vn - Vu) + (Z - Tu)/(Tn - Tu) — Pareto-range
+    #     scaling; Vn = all-min-bits variance, Vu = all-max-bits, Tn = Z at
+    #     all-max-bits, Tu = achievable Z at all-min-bits (see module doc)
+    def chan_time(pr, b):
+        a_c, b_c = ab[id(pr)]
+        return a_c * (pr.group_count.sum() * msg_bytes[b]) / 1e6 + b_c
+
+    v_nadir = sum(pr.group_var.sum() for pr in problems) * bits_cost(min(BITS_SET))
+    v_utopia = sum(pr.group_var.sum() for pr in problems) * bits_cost(max(BITS_SET))
+    t_nadir = max(chan_time(pr, max(BITS_SET)) for pr in problems)
+    t_utopia = max(chan_time(pr, min(BITS_SET)) for pr in problems)
+    if cfg.normal_mode == "magnitude":
+        v_den, t_den = v_nadir, t_nadir
+    elif cfg.normal_mode == "nadir_utopia":
+        v_den, t_den = v_nadir - v_utopia, t_nadir - t_utopia
+    else:
+        raise ValueError(f"unknown normal_mode {cfg.normal_mode!r}")
+    v_den = max(v_den, 1e-12)
+    t_den = max(t_den, 1e-12)
 
     c = np.zeros(n_vars)
     for ci, pr in enumerate(problems):
         for g, gv in enumerate(pr.group_var):
             for bi, b in enumerate(BITS_SET):
-                c[var_index[(ci, g, bi)]] = cfg.coe_lambda * gv * bits_cost(b) / v_max
-    c[z_idx] = (1.0 - cfg.coe_lambda) / t_max
+                c[var_index[(ci, g, bi)]] = cfg.coe_lambda * gv * bits_cost(b) / v_den
+    c[z_idx] = (1.0 - cfg.coe_lambda) / t_den
 
     # constraints assembled as ONE sparse block: dense per-row
     # LinearConstraints cost O(rows * n_vars) memory/time and dominated the

@@ -89,6 +89,9 @@ class RunConfig:
     group_size: int = 100
     coe_lambda: float = 0.5
     assign_bits: int = 8
+    # bi-objective normalization: "nadir_utopia" (reference effective
+    # default, AdaQP/assigner/assigner.py:312) or "magnitude"
+    normal_mode: str = "nadir_utopia"
     # synthetic dataset knobs
     synth_kwargs: Dict[str, Any] = field(default_factory=dict)
 

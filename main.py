@@ -72,6 +72,10 @@ def parse_args():
                    choices=["offset", "pair"],
                    help="cost-model probe resolution: per ring-offset link "
                         "class (K-1 collectives) or per ordered pair")
+    p.add_argument("--normal_mode", type=str, default=None,
+                   choices=["nadir_utopia", "magnitude"],
+                   help="bi-objective normalization for the bit assigner "
+                        "(reference assigner.py:312-361)")
     p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--resume", action="store_true", default=None)
     return p.parse_args()

@@ -84,6 +84,39 @@ def test_lambda_extremes(lay):
     assert got_mb <= best_mb * 1.05 + 1e-9
 
 
+def test_normalization_modes_lambda_semantics(lay):
+    """Both normalization modes of the bi-objective (reference
+    ``assigner.py:317-361``) must solve, agree at the lambda extremes
+    (normalization cannot change a single-objective optimum), and differ at
+    mid lambda when the latency term beta dominates: nadir_utopia divides
+    the time objective by the PARETO RANGE (which beta cancels out of), so
+    it weights time more than magnitude normalization (which divides by the
+    beta-inflated full makespan) — i.e. same lambda, narrower bits."""
+    g, layout = lay
+    plan = layout.plan_fwd
+    fwd, bwd = _traces(plan)
+    # large beta: the range (t_nadir - t_utopia) excludes it, the magnitude
+    # (t_nadir) includes it
+    cm = (1.0, 50.0)
+
+    def mean_bits(mode, lam):
+        cfg = AssignerConfig(
+            group_size=20, coe_lambda=lam, wire_feats=16, normal_mode=mode
+        )
+        asg = Assigner(plan, L, cfg, cost_model=cm).assign(fwd, bwd)
+        _valid_bits(asg, plan)
+        lm = np.arange(plan.s_pad)[None, None, :] < plan.counts[:, :, None]
+        return np.concatenate([a[lm] for a in asg.fwd]).astype(np.float64).mean()
+
+    # lambda -> 1: variance dominates under EITHER normalization -> max width
+    assert mean_bits("magnitude", 0.999) == pytest.approx(max(BITS_SET), abs=0.3)
+    assert mean_bits("nadir_utopia", 0.999) == pytest.approx(max(BITS_SET), abs=0.3)
+    # mid lambda: nadir_utopia trades more variance for time than magnitude
+    assert mean_bits("nadir_utopia", 0.5) < mean_bits("magnitude", 0.5)
+    with pytest.raises(ValueError):
+        mean_bits("bogus", 0.5)
+
+
 def test_high_variance_nodes_get_more_bits(lay):
     g, layout = lay
     plan = layout.plan_fwd
