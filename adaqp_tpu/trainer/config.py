@@ -47,9 +47,10 @@ class RunConfig:
     # time comm/quant/central/marginal probes (the reference always records
     # these buckets, AdaQP/util/timer.py:29-51; the probe costs seconds once)
     measure_breakdown: bool = True
-    # "segment" | "block" (v1 bitmask-MXU) | "compact" (v2 window-reuse +
-    # column-compaction kernel, ops/spmm_compact.py)
-    spmm_impl: str = "segment"
+    # "auto" (default: strip/block on TPU when their gates pass, segment
+    # elsewhere — trainer.resolve_spmm_impl) | "segment" | "block" (v1
+    # bitmask-MXU) | "strip" (v3 window-reuse) | "compact" (v2, chip-gated)
+    spmm_impl: str = "auto"
     # tile-vs-ELL split for the block impl: in-situ tile ~3.3us vs ELL
     # gather ~17 ns/edge puts breakeven near 190 edges/tile (EXPERIMENTS.md
     # r2 sweep: 512 -> 192 cut the Reddit-scale epoch 0.575 -> 0.464 s);

@@ -48,7 +48,7 @@ def parse_args():
     p.add_argument("--exp_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--spmm_impl", type=str, default=None,
-                   choices=["segment", "block", "compact", "strip"])
+                   choices=["auto", "segment", "block", "compact", "strip"])
     p.add_argument("--agg_dtype", type=str, default=None, choices=["float32", "bfloat16"])
     p.add_argument("--block_min_edges", type=int, default=None,
                    help="tile/ELL split threshold for --spmm_impl block")
