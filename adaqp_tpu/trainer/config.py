@@ -83,10 +83,12 @@ class RunConfig:
     # assignment
     assign_cycle: int = 50
     profile_data_length: int = 8  # #payload sizes for cost-model profiling
-    # channel resolution of the alpha-beta probes: "offset" = K-1 ppermute
-    # rotations (one curve per ring-offset link class), "pair" = K*(K-1)
-    # singleton probes (exact ordered pairs, reference profile.py:46-83)
-    profile_mode: str = "offset"
+    # channel resolution of the alpha-beta probes: "pair" = K*(K-1)
+    # singleton probes (exact ordered pairs, reference profile.py:46-83);
+    # "offset" = K-1 ppermute rotations (one curve per ring offset — fast
+    # channels inherit a slow co-member's alpha on mixed ICI+DCN offsets);
+    # "auto" = pair for K<=8, offset above
+    profile_mode: str = "auto"
     group_size: int = 100
     coe_lambda: float = 0.5
     assign_bits: int = 8

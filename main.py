@@ -69,9 +69,11 @@ def parse_args():
                    help="log the compiled train step's device-memory "
                         "footprint before the first step")
     p.add_argument("--profile_mode", type=str, default=None,
-                   choices=["offset", "pair"],
-                   help="cost-model probe resolution: per ring-offset link "
-                        "class (K-1 collectives) or per ordered pair")
+                   choices=["auto", "offset", "pair"],
+                   help="cost-model probe resolution: per ordered pair "
+                        "(exact, K^2 compiles), per ring-offset link class "
+                        "(K-1 collectives, misattributes on mixed offsets), "
+                        "or auto (pair for K<=8)")
     p.add_argument("--normal_mode", type=str, default=None,
                    choices=["nadir_utopia", "magnitude"],
                    help="bi-objective normalization for the bit assigner "

