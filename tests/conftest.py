@@ -23,7 +23,9 @@ import jax  # noqa: E402
 # regardless of JAX_PLATFORMS; this forces the virtual CPU mesh anyway.
 jax.config.update("jax_platforms", "cpu")
 
-# The suite is mostly XLA:CPU compiles; replay them from the on-disk cache.
+# A no-op on this CPU-only process unless ADAQP_JAX_CACHE forces a dir:
+# replaying XLA:CPU executables trips a false-positive SIGILL warning on
+# every load and buys no suite time (utils/compilation_cache module doc).
 from adaqp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
