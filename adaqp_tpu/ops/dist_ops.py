@@ -98,14 +98,19 @@ def pair_seg_spmm(l_max: int, r_pad: int, chunk, hl, hr, edges):
 
 
 def _pair_seg_fwd(l_max, r_pad, chunk, hl, hr, edges):
-    return pair_seg_spmm(l_max, r_pad, chunk, hl, hr, edges), edges
+    # zero-size dtype prototypes: cotangents must come back in the PRIMAL
+    # dtypes (bf16 inputs under agg_dtype=bfloat16 get f32 cotangents from
+    # the f32-accumulating backward otherwise — custom_vjp type error)
+    protos = (jnp.zeros((0,), hl.dtype), jnp.zeros((0,), hr.dtype))
+    return pair_seg_spmm(l_max, r_pad, chunk, hl, hr, edges), (edges, protos)
 
 
-def _pair_seg_bwd(l_max, r_pad, chunk, edges, g):
+def _pair_seg_bwd(l_max, r_pad, chunk, res, g):
+    edges, (pl, pr) = res
     bl_s, bl_d, bh_s, bh_d = edges[4:]
     g_l = _seg(bl_s, bl_d, g, l_max, chunk)
     g_r = _seg(bh_s, bh_d, g, r_pad, chunk)
-    return g_l, g_r, None
+    return g_l.astype(pl.dtype), g_r.astype(pr.dtype), None
 
 
 pair_seg_spmm.defvjp(_pair_seg_fwd, _pair_seg_bwd)
