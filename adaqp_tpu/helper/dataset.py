@@ -144,6 +144,7 @@ def rmat_graph(
     c: float = 0.19,
     structured: bool = False,
     hint: float = 1.5,
+    homophily: float = 0.0,
 ) -> GraphData:
     """R-MAT power-law graph at benchmark scale (synthetic stand-in for
     Reddit/ogbn-products; no dataset download possible in this environment).
@@ -154,7 +155,15 @@ def rmat_graph(
     community signal — and features carry a weak class hint the GNN must
     denoise through aggregation (the same oracle construction as
     ``sbm_graph``, at power-law scale; used by the scaled accuracy-parity
-    harness, round-2 VERDICT missing #8)."""
+    harness, round-2 VERDICT missing #8).
+
+    ``homophily`` rewires that fraction of raw edges to land on a random
+    SAME-label node (before symmetrization). R-MAT's quadrant bias alone
+    leaves low neighbor-label purity, so GCN mean-style aggregation
+    DILUTES the feature hint and fp32 tops out far below a Reddit-like
+    operating point (0.355 at 131K nodes, round 3) — too little headroom
+    for quantization deltas to be read against (round-3 VERDICT weak #7).
+    Rewiring restores SBM-like purity at power-law degree structure."""
     rng = np.random.default_rng(seed)
     e = n * avg_degree
     scale = int(np.ceil(np.log2(n)))
@@ -169,14 +178,25 @@ def rmat_graph(
         )
         src = (src << 1) | s_bit
         dst = (dst << 1) | d_bit
-    src = (src % n).astype(np.int32)
-    dst = (dst % n).astype(np.int32)
+    src = src % n
+    dst = dst % n
+    shift = max(scale - int(np.ceil(np.log2(num_classes))), 0)
+    if structured and homophily > 0.0:
+        # labels are id-prefix blocks of 2^shift ids repeating every
+        # num_classes blocks: sample a same-label target directly
+        m = rng.random(e) < homophily
+        cls = (src[m] >> shift) % num_classes
+        reps = max((n >> shift) // num_classes, 1)
+        blk = rng.integers(0, reps, int(m.sum()))
+        off = rng.integers(0, 1 << shift, int(m.sum()))
+        dst[m] = (((blk * num_classes + cls) << shift) + off) % n
+    src = src.astype(np.int32)
+    dst = dst.astype(np.int32)
     src, dst = _dedup_and_symmetrize(src, dst, n)
     src, dst = normalize_self_loops(src, dst, n)
     feats = rng.normal(size=(n, num_feats)).astype(np.float32)
     if structured:
         # label = high id bits (R-MAT communities) + weak feature hint
-        shift = max(scale - int(np.ceil(np.log2(num_classes))), 0)
         labels = (np.arange(n, dtype=np.int64) >> shift) % num_classes
         labels = labels.astype(np.int32)
         onehot = np.eye(max(num_classes, num_feats), num_feats, dtype=np.float32)
@@ -184,9 +204,13 @@ def rmat_graph(
     else:
         labels = rng.integers(0, num_classes, n).astype(np.int32)
     tm, vm, sm = _split_masks(rng, n)
+    name = f"rmat{n}"
+    if structured:
+        # partition/layout caches key on the name: homophily changes the
+        # edge set, so it must change the identity too
+        name += "s" + (f"h{int(round(homophily * 100))}" if homophily else "")
     return GraphData(
-        n, src, dst, feats, labels, tm, vm, sm, num_classes, False,
-        f"rmat{n}s" if structured else f"rmat{n}",
+        n, src, dst, feats, labels, tm, vm, sm, num_classes, False, name
     )
 
 

@@ -32,11 +32,15 @@ EPOCHS = 60
 # --scale: products-shaped workload (round-2 VERDICT missing #8) — R-MAT
 # 131K nodes / ~4M directed edges with structured (learnable) labels,
 # 8 partitions, realistic feature/hidden widths, time-bounded epochs.
+# homophily=0.3 rewires 30% of raw edges to same-label targets so fp32
+# reaches a Reddit-like operating point (~0.88 at 32K-node tuning, vs
+# 0.355 without — round-3 VERDICT weak #9: a task this hard-to-learn
+# understates quantization's accuracy cost).
 SCALE = {
     "dataset": "rmat",
     "synth_kwargs": {"n": 1 << 17, "avg_degree": 16, "num_feats": 128,
                      "num_classes": 32, "seed": 7, "structured": True,
-                     "hint": 2.5},
+                     "hint": 2.5, "homophily": 0.3},
     "num_parts": 8, "hidden_dim": 128, "num_epochs": 30, "assign_cycle": 10,
     "learning_rate": 0.03, "dropout_rate": 0.2,
     # METIS cut (reference partitioner): the ldg partition of this
