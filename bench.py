@@ -117,15 +117,56 @@ def synth_reddit(n, e, f, c, seed=0):
     return src, dst, feats, labels, train_mask
 
 
+def rcm_perm(src, dst, n, cache_tag=""):
+    """Reverse-Cuthill-McKee ordering of the (symmetrized) graph, cached.
+
+    Round-3 VERDICT next-step #4: the ELL gather floor is a per-edge-visit
+    cost, so the remaining aggregation lever is pulling tail edges into
+    dense bitmask tiles; RCM tightens the bandwidth so nearby dst rows
+    share source windows."""
+    cache = os.path.join(CACHE_DIR, f"rcm_perm_{n}{cache_tag}.npz")
+    if os.path.exists(cache):
+        return np.load(cache)["perm"]
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    log(f"computing RCM permutation over {len(src)/1e6:.1f}M edges (one-time)")
+    a = sp.csr_matrix(
+        (np.ones(len(src), np.int8), (src, dst)), shape=(n, n)
+    )
+    perm = np.asarray(
+        reverse_cuthill_mckee(a + a.T, symmetric_mode=True), np.int64
+    )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(cache, perm=perm)
+    return perm
+
+
+def apply_reorder(src, dst, feats, labels, train_mask, perm):
+    """Relabel the graph so new id j is old node perm[j]."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return (inv[src].astype(np.int32), inv[dst].astype(np.int32),
+            feats[perm], labels[perm], train_mask[perm])
+
+
 def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
-              min_edges=512, impl="block", me_ell=64, full_cols=1024):
+              min_edges=512, impl="block", me_ell=64, full_cols=1024,
+              reorder="none"):
     src, dst, feats, labels, train_mask = synth_reddit(n, e, f, c)
+    rtag = ""
+    if reorder == "rcm":
+        perm = rcm_perm(src, dst, n)
+        src, dst, feats, labels, train_mask = apply_reorder(
+            src, dst, feats, labels, train_mask, perm
+        )
+        rtag = "_rcm"
     cmp_pair = blk_pair = stp_pair = None
     if impl == "strip":
         from adaqp_tpu.ops.spmm_strip import strip_layout
 
         log(f"building strip layout (host, one-time), min_edges={min_edges}")
-        key = os.path.join(CACHE_DIR, f"stp_u_{n}_{e}_me{min_edges}")
+        key = os.path.join(CACHE_DIR, f"stp_u_{n}_{e}_me{min_edges}{rtag}")
         fwd = strip_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
         bwd = strip_layout(dst, src, n, min_edges=min_edges, cache_key=key + "_bwd")
         log(f"tiles fwd={fwd.tile_src.shape[0]} windows={fwd.win_src.shape[0]-1} "
@@ -151,7 +192,7 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
 
         log(f"building compact layout (host, one-time), me_ell={me_ell} "
             f"full_cols={full_cols}")
-        key = os.path.join(CACHE_DIR, f"cmp_u_{n}_{e}_me{me_ell}_fc{full_cols}")
+        key = os.path.join(CACHE_DIR, f"cmp_u_{n}_{e}_me{me_ell}_fc{full_cols}{rtag}")
         fwd = compact_layout(
             src, dst, n, me_ell=me_ell, full_cols=full_cols,
             cache_key=key + "_fwd",
@@ -171,7 +212,7 @@ def run_bench(n, e, f, c, hidden, layers, epochs, edge_chunk, agg_dtype,
         from adaqp_tpu.ops.spmm_block import block_layout
 
         log(f"building bitmask block layout (host, one-time), min_edges={min_edges}")
-        key = os.path.join(CACHE_DIR, f"blk_u_{n}_{e}")
+        key = os.path.join(CACHE_DIR, f"blk_u_{n}_{e}{rtag}")
         if min_edges != 512:
             key += f"_me{min_edges}"
         fwd = block_layout(src, dst, n, min_edges=min_edges, cache_key=key + "_fwd")
@@ -356,6 +397,10 @@ def main():
     # tile-vs-ELL split threshold: in-situ tile cost ~3.3us and ELL gather
     # ~17 ns/edge put the breakeven near 190 edges/tile (EXPERIMENTS.md)
     p.add_argument("--min_edges", type=int, default=192)
+    p.add_argument("--reorder", type=str, default="none",
+                   choices=["none", "rcm"],
+                   help="relabel nodes before layout (rcm: tighten the "
+                        "bandwidth to pull tail edges into dense tiles)")
     p.add_argument("--impl", type=str, default="strip",
                    choices=["block", "compact", "mixed", "strip"],
                    help="raw-loop aggregation kernel (strip = v3 per-strip "
@@ -398,6 +443,7 @@ def main():
             edge_chunk=1 << 18, agg_dtype=jnp.dtype(args.agg_dtype),
             min_edges=args.min_edges, impl=args.impl,
             me_ell=args.me_ell, full_cols=args.full_cols,
+            reorder=args.reorder,
         )
         metric = "reddit_full_epoch_s" if not args.quick else "quick_epoch_s"
     vs = BASELINE_EPOCH_S / val if not args.quick else 0.0

@@ -19,8 +19,21 @@ honest next-best account:
 
 Exchange makespan per link class = max over chips of egress bytes / BW,
 summed over the 2L-1 per-layer exchanges (fwd L, bwd L-1; reference
-`ops.py:132-193`). Overlap (AdaQP-p) is NOT credited — projections are
-conservative for AdaQP.
+`ops.py:132-193`).
+
+Round 4 adds OVERLAP-credited columns (AdaQP-p, AdaQP q8+p) — the
+reference's bi-level parallelization (`ops.py:156-193`). The credit is
+grounded in the compiled TPU schedule, not assumed: the AOT v5e modules
+(`AOT_TOPOLOGY_r04.json`, `utils/aot.py::analyze_overlap`) place the
+local-edge strip SpMM custom-call inside EVERY ragged all-to-all
+start/done window (5/5), so per exchange the hideable compute is that
+layer's local-src aggregation. Its duration comes from the measured
+one-chip strip pass (292.0 ms at F=640, 183.5 ms at F=256 — EXPERIMENTS
+round 3, `scripts/bench_strip.py`) scaled by each chip's local-edge
+share: central_ms[chip] = pass_ms(width) * local_edges[chip] /
+total_edges. Unhidden wire per exchange = max over chips of
+max(0, egress/BW - central_ms); quantize/pack stays serial (it gates the
+wire, reference `op_util.py:112-130`).
 
     python scripts/ici_projection.py            # measures quant on the chip
     JAX_PLATFORMS=cpu python scripts/ici_projection.py --no-quant
@@ -86,6 +99,54 @@ def exchange_makespans(plans):
     return spans
 
 
+def exchange_chip_bytes(plans):
+    """Per-exchange per-chip egress bytes: list over (layer, dir) of [K]."""
+    out = []
+    for fwd, bwd in plans:
+        for d in (fwd, bwd):
+            if d is not None:
+                out.append(np.asarray(d.send_sz).sum(axis=1) * 4.0)
+    return out
+
+
+# Measured one-chip full-graph strip+ELL pass (ms) per aggregation width
+# (EXPERIMENTS.md round 3, scripts/bench_strip.py on the corrected graph).
+PASS_MS = {640: 292.0, 256: 183.5}
+
+
+def central_ms_per_exchange(lay, dims, hidden):
+    """[n_exchanges, K] hideable local-SpMM ms per chip per exchange.
+
+    Exchange order matches wire plans: fwd layers 0..L-1 then bwd layers
+    (L-1..1). The hideable work during exchange e is that layer's
+    LOCAL-src aggregation (no data dependence on the wire — the property
+    the AOT schedule exploits, AOT_TOPOLOGY_r04.json 5/5 windows)."""
+    sent = lay.l_max
+    local_e = (np.asarray(lay.fwd_local[1]) != sent).sum(axis=1).astype(float)
+    halo_e = (np.asarray(lay.fwd_halo[1]) != sent).sum(axis=1).astype(float)
+    total = float(local_e.sum() + halo_e.sum())
+    frac = local_e / total  # [K] share of the one-chip pass that is local
+    width = lambda f: 640 if f > 256 else 256
+    fwd_w = [width(f) for f in dims]               # fwd exchange widths
+    bwd_w = [width(hidden)] * (len(dims) - 1)      # bwd: grad width
+    return np.stack([PASS_MS[w] * frac for w in fwd_w + bwd_w])
+
+
+def overlap_evidence():
+    """Windows-with-local-SpMM count from the committed AOT artifact."""
+    import json
+
+    try:
+        with open("AOT_TOPOLOGY_r04.json") as f:
+            reps = json.load(f)["reports"]
+        r = next(x for x in reps if x.get("impl") == "strip" and x["ok"])
+        ov = r["overlap"]
+        return (r["topology"], ov["async_windows"],
+                ov["windows_with_local_spmm"])
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-quant", action="store_true",
@@ -129,7 +190,7 @@ def main():
         fp = wire_fp(plan, dims, LAYERS)
         q8 = wire_from_assignment(plan, uniform_assignment(plan, LAYERS, 8), dims)
         q2 = wire_from_assignment(plan, uniform_assignment(plan, LAYERS, 2), dims)
-        rows[name] = dict(plan=plan, cut=cut, fp=fp, q8=q8, q2=q2)
+        rows[name] = dict(plan=plan, cut=cut, fp=fp, q8=q8, q2=q2, lay=lay)
         flat = lambda ps: [d for p in ps for d in p if d is not None]
         print(f"\n[{name}] boundary rows/partition (fwd send): "
               f"{plan.counts.sum(axis=1).tolist()}")
@@ -213,16 +274,35 @@ def main():
 
     # ---- projection ----
     comp = ONE_CHIP_EPOCH_S / K
+    ev = overlap_evidence()
     print(f"\nprojected K={K} epoch (compute {comp * 1e3:.0f} ms = "
           f"{ONE_CHIP_EPOCH_S}s / {K}, ideal):")
+    if ev:
+        print(f"overlap credit grounded in the compiled {ev[0]} schedule: "
+              f"{ev[2]}/{ev[1]} ragged windows carry the local strip SpMM "
+              f"(AOT_TOPOLOGY_r04.json)")
     print(f"{'partition':12s} {'link':14s} {'Vanilla':>9s} {'AdaQP-q8':>9s} "
-          f"{'speedup':>8s}")
+          f"{'AdaQP-p':>9s} {'q8+p':>9s} {'q8':>7s} {'q8+p':>7s}")
+
+    def t_overlap(chip_bytes, central_ms, bw, extra_s):
+        """comp + serial quant + per-exchange unhidden wire (max over
+        chips of egress/bw minus that chip's hideable local SpMM)."""
+        unhidden = 0.0
+        for e, eg in enumerate(chip_bytes):
+            unhidden += float(np.max(np.maximum(0.0, eg / bw - central_ms[e] / 1e3)))
+        return comp + extra_s + unhidden
+
+    dims_true = [F] + [HIDDEN] * (LAYERS - 1)
     for name, r in rows.items():
+        central = central_ms_per_exchange(r["lay"], dims_true, HIDDEN)
         for link, bw in LINKS.items():
             t_v = comp + sum(exchange_makespans(r["fp"])) / bw
             t_q = comp + sum(exchange_makespans(r["q8"])) / bw + quant_s
+            t_p = t_overlap(exchange_chip_bytes(r["fp"]), central, bw, 0.0)
+            t_qp = t_overlap(exchange_chip_bytes(r["q8"]), central, bw, quant_s)
             print(f"{name:12s} {link:14s} {t_v * 1e3:8.0f}ms {t_q * 1e3:8.0f}ms "
-                  f"{t_v / t_q:7.2f}x")
+                  f"{t_p * 1e3:8.0f}ms {t_qp * 1e3:8.0f}ms "
+                  f"{t_v / t_q:6.2f}x {t_v / t_qp:6.2f}x")
 
 
 if __name__ == "__main__":
