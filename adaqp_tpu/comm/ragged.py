@@ -60,16 +60,32 @@ def ragged_all_to_all(operand, output, input_offsets, send_sizes,
                       output_offsets, recv_sizes, axis: str, slice_cap: int):
     """One-slice-per-peer ragged all-to-all (see ``lax.ragged_all_to_all``).
 
-    All offset/size arrays are int32 [K] (this shard's view). ``output`` is
+    All offset/size arrays are int32 [K] in u32 WORDS (this shard's view);
+    ``operand``/``output`` are flat u32 word buffers. ``output`` is
     returned with received slices written in; untouched rows keep their
     values. ``slice_cap`` is only used by the CPU emulation.
+
+    The transfer itself moves [rows, WIRE_LANE] lane rows: XLA:TPU lays a
+    1-D collective operand out at ONE ELEMENT per (8,128) tile — a 512x
+    HBM blowup (57 GiB for one K=8 products-scale wire buffer, round-4
+    PRODUCTS8 artifact). ``comm/wire.py`` aligns every slice start and
+    buffer cap to lcm(wpr, WIRE_LANE), so offsets divide exactly; sizes
+    round UP to whole rows — the <= 127 pad words per pair land in the
+    inter-slice alignment gap, which unpack never reads.
     """
+    from .wire import WIRE_LANE
+
+    assert operand.ndim == 1 and operand.shape[0] % WIRE_LANE == 0, operand.shape
+    assert output.ndim == 1 and output.shape[0] % WIRE_LANE == 0, output.shape
+    op = operand.reshape(-1, WIRE_LANE)
+    out = output.reshape(-1, WIRE_LANE)
+    io = input_offsets // WIRE_LANE  # exact: wire.py aligns slice starts
+    oo = output_offsets // WIRE_LANE
+    ss = -(-send_sizes // WIRE_LANE)  # whole lane rows (pad -> gap words)
+    rs = -(-recv_sizes // WIRE_LANE)
     if tpu_path():
-        return lax.ragged_all_to_all(
-            operand, output, input_offsets, send_sizes, output_offsets,
-            recv_sizes, axis_name=axis,
-        )
-    return _emulate(
-        operand, output, input_offsets, send_sizes, output_offsets,
-        recv_sizes, axis, slice_cap,
-    )
+        res = lax.ragged_all_to_all(op, out, io, ss, oo, rs, axis_name=axis)
+    else:
+        res = _emulate(op, out, io, ss, oo, rs, axis,
+                       -(-slice_cap // WIRE_LANE))
+    return res.reshape(-1)

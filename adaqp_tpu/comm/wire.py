@@ -37,6 +37,7 @@ from ..graph.layout import ExchangePlan
 from ..assigner.assignment import Assignment
 
 _PAD = np.int32(2**30)  # offset sentinel: beyond any buffer -> dropped
+WIRE_LANE = 128  # u32 words per wire lane row (one (8,128) TPU tile lane)
 
 
 def wire_cols(f_true: int, bits: int) -> int:
@@ -127,9 +128,15 @@ def _build_dir(
     # buffers as [rows, wpr] with ONE scatter/gather descriptor per lane
     # instead of one per word (measured 205 ms -> 6 ms per direction at
     # Reddit-scale boundary sizes; EXPERIMENTS.md). Slice starts are
-    # aligned to lcm(wpr) — the gap words between slices are NOT shipped;
-    # intra-slice inter-segment gaps (< wpr words each) are.
-    align = int(np.lcm.reduce(np.asarray(wpr, np.int64))) if wpr else 1
+    # aligned to lcm(wpr, WIRE_LANE) — the gap words between slices are
+    # NOT shipped (the a2a rounds each pair's size up to whole 128-word
+    # lane rows, <= 508 B/pair); intra-slice inter-segment gaps (< wpr
+    # words each) are. The WIRE_LANE factor lets the ragged all-to-all
+    # ship [rows, 128] u32 lane rows: XLA:TPU tiles a 1-D collective
+    # operand at ONE ELEMENT per (8,128) tile — a 512x HBM blowup that
+    # made the K=8 products-scale compile demand 57 GiB for one wire
+    # buffer (round 4, PRODUCTS8 artifact).
+    align = int(np.lcm.reduce(np.asarray(wpr + [WIRE_LANE], np.int64)))
 
     def _align(x: int, m: int) -> int:
         return -(-x // m) * m

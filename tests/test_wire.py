@@ -69,7 +69,13 @@ def test_wire_layout_invariants():
             # sizes symmetric: recv_sz[r, s] == send_sz[s, r]
             np.testing.assert_array_equal(w.recv_sz, w.send_sz.T)
             np.testing.assert_array_equal(np.diag(w.send_sz), 0)
-            align = int(np.lcm.reduce(np.asarray(w.wpr, np.int64)))
+            # slice starts align to lcm(wpr, WIRE_LANE): the a2a ships
+            # whole 128-word lane rows (1-D TPU collective operands tile
+            # at one element per (8,128) tile — 512x HBM)
+            from adaqp_tpu.comm.wire import WIRE_LANE
+
+            align = int(np.lcm.reduce(np.asarray(list(w.wpr) + [WIRE_LANE],
+                                                 np.int64)))
             for s in range(k):
                 # send slices are non-overlapping, in order, lcm-aligned
                 total = 0
