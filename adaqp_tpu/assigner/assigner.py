@@ -78,6 +78,10 @@ class AssignerConfig:
     # objective normalization: "nadir_utopia" (reference effective default,
     # assigner.py:312) or "magnitude" (assigner.py:319-335)
     normal_mode: str = "nadir_utopia"
+    # widths the MILP may assign. Default = the reference's quantized set;
+    # include 32 (raw fp32 lanes, common/types.WIRE_BITS_SET) on mixed
+    # fabrics so fast channels can skip quantization entirely
+    bits_options: Tuple[int, ...] = BITS_SET
 
 
 @dataclass
@@ -135,11 +139,13 @@ def _solve_direction(
         return {}
     from ..comm.wire import wire_cols
 
-    nb = len(BITS_SET)
+    bs = tuple(cfg.bits_options)
+    nb = len(bs)
     wf = cfg.wire_feats if wire_feats is None else wire_feats
     # bytes per message at width b: word-aligned packed width (the exact
-    # layout the ragged wire ships, comm/wire.py) + params overhead
-    msg_bytes = {b: wire_cols(wf, b) * b / 8.0 + cfg.param_bytes for b in BITS_SET}
+    # layout the ragged wire ships, comm/wire.py) + params overhead (the
+    # wire reserves param words per lane even for b=32, comm/wire.py)
+    msg_bytes = {b: wire_cols(wf, b) * b / 8.0 + cfg.param_bytes for b in bs}
     ab = {id(pr): _chan_ab(alpha, beta, pr.key) for pr in problems}
     # flatten variables x[c, g, b]
     var_index = {}
@@ -162,10 +168,10 @@ def _solve_direction(
         a_c, b_c = ab[id(pr)]
         return a_c * (pr.group_count.sum() * msg_bytes[b]) / 1e6 + b_c
 
-    v_nadir = sum(pr.group_var.sum() for pr in problems) * bits_cost(min(BITS_SET))
-    v_utopia = sum(pr.group_var.sum() for pr in problems) * bits_cost(max(BITS_SET))
-    t_nadir = max(chan_time(pr, max(BITS_SET)) for pr in problems)
-    t_utopia = max(chan_time(pr, min(BITS_SET)) for pr in problems)
+    v_nadir = sum(pr.group_var.sum() for pr in problems) * bits_cost(min(bs))
+    v_utopia = sum(pr.group_var.sum() for pr in problems) * bits_cost(max(bs))
+    t_nadir = max(chan_time(pr, max(bs)) for pr in problems)
+    t_utopia = max(chan_time(pr, min(bs)) for pr in problems)
     if cfg.normal_mode == "magnitude":
         v_den, t_den = v_nadir, t_nadir
     elif cfg.normal_mode == "nadir_utopia":
@@ -178,7 +184,7 @@ def _solve_direction(
     c = np.zeros(n_vars)
     for ci, pr in enumerate(problems):
         for g, gv in enumerate(pr.group_var):
-            for bi, b in enumerate(BITS_SET):
+            for bi, b in enumerate(bs):
                 c[var_index[(ci, g, bi)]] = cfg.coe_lambda * gv * bits_cost(b) / v_den
     c[z_idx] = (1.0 - cfg.coe_lambda) / t_den
 
@@ -206,7 +212,7 @@ def _solve_direction(
     for ci, pr in enumerate(problems):
         a_c, b_c = ab[id(pr)]
         for g, cnt in enumerate(pr.group_count):
-            for bi, b in enumerate(BITS_SET):
+            for bi, b in enumerate(bs):
                 rows.append(r)
                 cols.append(var_index[(ci, g, bi)])
                 vals.append(a_c * cnt * msg_bytes[b] / 1e6)
@@ -241,7 +247,7 @@ def _solve_direction(
     for ci, pr in enumerate(problems):
         choice = np.zeros(len(pr.group_var), np.int32)
         for g in range(len(pr.group_var)):
-            for bi, b in enumerate(BITS_SET):
+            for bi, b in enumerate(bs):
                 if x[var_index[(ci, g, bi)]] > 0.5:
                     choice[g] = b
         # safety: any unset group gets the bootstrap width

@@ -32,7 +32,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from ..common.types import BITS_SET
+from ..common.types import BITS_SET, WIRE_BITS_SET
 from ..graph.layout import ExchangePlan
 from ..assigner.assignment import Assignment
 
@@ -355,6 +355,7 @@ def wire_from_assignment(
     assignment: Assignment,
     layer_dims: Sequence[int],
     static_shapes: bool = False,
+    bits_set: Sequence[int] = BITS_SET,
 ) -> List[Tuple[WireDir, Optional[WireDir]]]:
     """Quantized wire plans per layer: ``(fwd, bwd)``; bwd is ``None`` for
     layer 0 (input features carry no gradient, reference
@@ -363,20 +364,25 @@ def wire_from_assignment(
 
     ``static_shapes``: round allocation capacities to powers of two so
     typical reassignments produce identically-shaped plans (jit cache hit
-    instead of a retrace); offsets and wire sizes stay exact."""
+    instead of a retrace); offsets and wire sizes stay exact.
+
+    ``bits_set``: the bucket vocabulary — pass the assigner's
+    ``bits_options`` (e.g. ``WIRE_BITS_SET`` with fp32 lanes enabled) so
+    the plan shapes stay stable across reassignments; b=32 lanes ship raw
+    f32 words (their reserved param words stay zero)."""
     k = plan.send_idx.shape[0]
     out = []
     for layer in range(assignment.num_layers):
         ft = int(layer_dims[layer])
         fwd = _build_dir(
-            _fwd_channels(plan, assignment.fwd[layer], k), k, ft, BITS_SET,
+            _fwd_channels(plan, assignment.fwd[layer], k), k, ft, bits_set,
             True, static_shapes=static_shapes,
         )
         bwd = None
         if layer > 0:
             bwd = _build_dir(
                 _bwd_channels(plan, assignment.bwd[layer], k), k, ft,
-                BITS_SET, True, static_shapes=static_shapes,
+                bits_set, True, static_shapes=static_shapes,
             )
         out.append((fwd, bwd))
     return out
@@ -426,14 +432,14 @@ def exact_message_bytes(
                 if s == r or cnt == 0:
                     continue
                 bl = fb[s, r, :cnt]
-                for b in BITS_SET:
+                for b in WIRE_BITS_SET:
                     c = int((bl == b).sum())
                     total += c * (-(-ft * b // 8) + param_bytes)
         if layer > 0:
             bb = assignment.bwd[layer]
             for r in range(k):
                 valid = bb[r, : int(plan.num_remote[r])]
-                for b in BITS_SET:
+                for b in WIRE_BITS_SET:
                     c = int((valid == b).sum())
                     total += c * (-(-ft * b // 8) + param_bytes)
     return total

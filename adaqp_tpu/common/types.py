@@ -9,8 +9,17 @@ from __future__ import annotations
 
 import enum
 
-# Supported message bit-widths (reference: BITS_SET, AdaQP/communicator/buffer.py:20)
+# Supported quantized message bit-widths (reference: BITS_SET,
+# AdaQP/communicator/buffer.py:20)
 BITS_SET = (2, 4, 8)
+# Widths the ragged wire can carry per lane: the quantized set plus raw
+# fp32 (b=32, no quantization, no params consumed). On fast fabrics (ICI)
+# quantize+pack costs more than the wire it saves (PRODUCTS8_r04.json:
+# q8 = 0.75x Vanilla on ICI), so the adaptive MILP may assign 32 to fast
+# channels and narrow widths to slow (DCN/ethernet) ones — enable with
+# ``fp32_lanes`` (RunConfig) / ``bits_options`` (AssignerConfig). Beyond
+# the reference (its BITS_SET is fixed; one fabric class per job).
+WIRE_BITS_SET = (2, 4, 8, 32)
 
 
 class GNNType(enum.Enum):

@@ -95,6 +95,11 @@ class RunConfig:
     # bi-objective normalization: "nadir_utopia" (reference effective
     # default, AdaQP/assigner/assigner.py:312) or "magnitude"
     normal_mode: str = "nadir_utopia"
+    # let the adaptive MILP assign raw fp32 (no quantize/pack) per channel
+    # group — on fast fabrics (ICI) quantization is a net loss
+    # (PRODUCTS8_r04.json: q8 = 0.75x Vanilla on ICI) and the per-channel
+    # cost model can tell fast pairs from slow ones. Ragged wire only.
+    fp32_lanes: bool = False
     # synthetic dataset knobs
     synth_kwargs: Dict[str, Any] = field(default_factory=dict)
 

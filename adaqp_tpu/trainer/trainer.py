@@ -35,7 +35,7 @@ from ..assigner import (
     random_assignment,
 )
 from ..assigner.profile import fit_cost_model, profile_cost_model
-from ..common.types import AggregatorType, GNNType, Mode, Scheme
+from ..common.types import BITS_SET, AggregatorType, GNNType, Mode, Scheme
 from ..graph import build_layout, partition_graph
 from ..graph.device import (
     make_mesh,
@@ -267,12 +267,18 @@ class Trainer:
         self.assigner: Optional[Assigner] = None
         plan = self.layout.plan_fwd
         if self.mode.quantized:
+            if cfg.fp32_lanes and cfg.wire_impl != "ragged":
+                raise ValueError(
+                    "fp32_lanes needs the ragged wire: the legacy padded "
+                    "bucket path only carries quantized widths (BITS_SET)"
+                )
             acfg = AssignerConfig(
                 group_size=cfg.group_size,
                 coe_lambda=cfg.coe_lambda,
                 assign_bits=cfg.assign_bits,
                 wire_feats=self.layout.f_true,
                 normal_mode=cfg.normal_mode,
+                bits_options=self._bits_options(),
             )
             if self.scheme is Scheme.ADAPTIVE:
                 sizes, times = profile_cost_model(
@@ -343,6 +349,15 @@ class Trainer:
         spec = jax.sharding.NamedSharding(self.mesh, P("part"))
         return jax.tree.map(lambda a: put_global(np.asarray(a), spec), plans)
 
+    def _bits_options(self):
+        """Widths the assigner may choose / the wire must carry. With
+        ``fp32_lanes`` the adaptive MILP can assign raw fp32 (b=32) to
+        channels whose profiled alpha makes quantization a net loss —
+        fast-fabric (ICI) pairs; see common/types.WIRE_BITS_SET."""
+        from ..common.types import WIRE_BITS_SET
+
+        return WIRE_BITS_SET if self.cfg.fp32_lanes else BITS_SET
+
     def _lower_buckets(self):
         """Assignment -> device wire layouts (train-buffer regeneration,
         reference ``buffer.py:176-248``): exact-size ragged wire plans
@@ -366,6 +381,7 @@ class Trainer:
                         self.layout.plan_fwd, self.assignment, self.layer_dims,
                         static_shapes=sw
                         and self.scheme in (Scheme.ADAPTIVE, Scheme.RANDOM),
+                        bits_set=self._bits_options(),
                     )
                 )
             self.bucket_bits = None

@@ -68,6 +68,11 @@ def parse_args():
     p.add_argument("--log_hbm", action="store_true", default=None,
                    help="log the compiled train step's device-memory "
                         "footprint before the first step")
+    p.add_argument("--fp32_lanes", action="store_true", default=None,
+                   help="let the adaptive MILP assign raw fp32 (b=32, no "
+                        "quantize/pack) per channel group — for mixed "
+                        "fabrics where fast (ICI) pairs lose from "
+                        "quantization (ragged wire only)")
     p.add_argument("--profile_mode", type=str, default=None,
                    choices=["auto", "offset", "pair"],
                    help="cost-model probe resolution: per ordered pair "

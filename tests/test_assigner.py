@@ -182,6 +182,38 @@ def test_profile_per_channel_shapes_and_fit():
         assert (alpha[off] > 0).all()
 
 
+def test_fp32_lanes_assigned_to_fast_channels(lay):
+    # bits_options=WIRE_BITS_SET: on a mixed fabric the MILP should leave
+    # fast channels at raw fp32 (zero variance cost, negligible time) and
+    # narrow only the slow sender's messages — the products-scale account
+    # (PRODUCTS8_r04.json) shows quantization is a net loss on ICI pairs
+    from adaqp_tpu.common.types import WIRE_BITS_SET
+
+    g, layout = lay
+    plan = layout.plan_fwd
+    fwd, bwd = _traces(plan)
+    alpha = np.full((K, K), 1e-3)
+    alpha[0, :] = 50.0
+    np.fill_diagonal(alpha, 0.0)
+    beta = np.full((K, K), 0.01)
+    np.fill_diagonal(beta, 0.0)
+    cfg = AssignerConfig(group_size=20, coe_lambda=0.5, wire_feats=16,
+                         bits_options=WIRE_BITS_SET)
+    asg = Assigner(plan, L, cfg, cost_model=(alpha, beta)).assign(fwd, bwd)
+    fast_bits, slow_bits = [], []
+    for layer in range(L):
+        for s in range(K):
+            for r in range(K):
+                cnt = int(plan.counts[s, r])
+                if s == r or cnt == 0:
+                    continue
+                vals = asg.fwd[layer][s, r, :cnt].astype(np.float64)
+                assert set(np.unique(vals)) <= set(WIRE_BITS_SET)
+                (slow_bits if s == 0 else fast_bits).append(vals.mean())
+    assert np.mean(fast_bits) > 24, np.mean(fast_bits)  # mostly raw fp32
+    assert np.mean(slow_bits) < 16, np.mean(slow_bits)  # narrowed
+
+
 def test_pair_mode_isolates_mixed_offset_channels(monkeypatch):
     # round-3 VERDICT weak #3: within one ring offset, a single slow (DCN)
     # channel must not inflate the fast (ICI) channels' alpha. Simulate a

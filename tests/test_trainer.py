@@ -69,6 +69,24 @@ def test_schemes_with_reassignment(tmp_path, scheme):
     assert t._train_step._cache_size() <= 2
 
 
+def test_fp32_lanes_adaptive(tmp_path):
+    # fp32_lanes: the adaptive MILP may assign raw 32-bit (no quantize) per
+    # channel group; the ragged wire carries the mixed widths end-to-end
+    t, rec = _run(
+        tmp_path, mode="AdaQP", assign_scheme="adaptive", num_epochs=14,
+        assign_cycle=6, fp32_lanes=True, static_wire=True,
+    )
+    assert rec["best"][2] > 0.9
+    lm_bits = np.concatenate([a.ravel() for a in t.assignment.fwd])
+    assert set(np.unique(lm_bits[lm_bits > 0])) <= {2, 4, 8, 32}
+
+
+def test_fp32_lanes_rejects_padded_wire(tmp_path):
+    with pytest.raises(ValueError, match="ragged"):
+        _run(tmp_path, mode="AdaQP", assign_scheme="adaptive",
+             wire_impl="padded", fp32_lanes=True, num_epochs=2)
+
+
 def test_sage_multilabel(tmp_path):
     t, rec = _run(
         tmp_path,

@@ -303,6 +303,67 @@ def test_row_granular_pack_matches_word_form(rng, monkeypatch):
         np.testing.assert_array_equal(g_r, g_w)
 
 
+def test_fp32_lanes_mixed_wire(rng):
+    # WIRE_BITS_SET wire: b=32 lanes ship raw f32 words (no quantization,
+    # reserved param words unused) alongside 8-bit lanes in one exchange;
+    # fp32 slots must arrive bit-exact (round 4: the MILP can assign 32 to
+    # fast-fabric channels where quantize+pack is a net loss)
+    from adaqp_tpu.common.types import WIRE_BITS_SET
+
+    g, lay, _, _, _ = _layout_and_plans()
+    plan = lay.plan_fwd
+    f = lay.num_feats
+    asg = random_assignment(plan, 1, seed=4, bits_set=(8, 32))
+    wfwd = wire_from_assignment(
+        plan, asg, [lay.f_true], bits_set=WIRE_BITS_SET
+    )[0][0]
+    mesh = make_mesh(K)
+    h = jnp.asarray(lay.feats)
+    sink = jnp.zeros((K, plan.r_pad))
+    wdev = jax.tree.map(jnp.asarray, wfwd)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+
+    def run(h, sk, wf):
+        def body(h, sk, wf):
+            rem = exchange_ragged(
+                h[0], keys, sk[0], wf.local(), None, plan.r_pad, f, "part",
+                lay.f_true,
+            )
+            return rem[None]
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P("part"),) * 3, out_specs=P("part")
+        )(h, sk, wf)
+
+    rem = np.asarray(run(h, sink, wdev))
+    ft = lay.f_true
+    feats_g = np.zeros((g.num_nodes, f), np.float32)
+    for p in range(K):
+        c = int(lay.num_local[p])
+        feats_g[lay.local_ids[p, :c]] = lay.feats[p, :c]
+    n32 = 0
+    for r in range(K):
+        rg = plan.remote_global[r]
+        for s in range(K):
+            cnt = int(plan.counts[s, r])
+            for i in range(cnt):
+                slot = int(plan.recv_slot[r, s, i])
+                b = int(asg.fwd[0][s, r, i])
+                true_row = feats_g[rg[slot], :ft]
+                err = np.abs(rem[r, slot, :ft] - true_row).max()
+                if b == 32:
+                    assert err == 0.0, (r, slot, err)
+                    n32 += 1
+                else:
+                    # one 8-bit step + bf16 (scale, rmin) slack; precise
+                    # quant tolerances live in the roundtrip test above
+                    width = true_row.max() - true_row.min()
+                    tol = (width / 127.0
+                           + np.abs(true_row).max() * 2**-7 + 1e-6)
+                    assert err <= tol, (r, slot, err, tol)
+    assert n32 > 10  # the random mix actually exercised fp32 lanes
+
+
 def test_exchange_ragged_quant_roundtrip_and_grad(rng):
     g, lay, asg, dims, plans = _layout_and_plans(num_layers=2)
     plan = lay.plan_fwd
