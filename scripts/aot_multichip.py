@@ -34,7 +34,7 @@ from adaqp_tpu.trainer import RunConfig, Trainer  # noqa: E402
 from adaqp_tpu.utils.aot import aot_compile_train_step  # noqa: E402
 
 
-def build_trainer(k: int, impl: str, model: str) -> Trainer:
+def build_trainer(k: int, impl: str, model: str, **extra) -> Trainer:
     cfg = RunConfig.from_yaml(
         "sbm",
         {
@@ -46,30 +46,36 @@ def build_trainer(k: int, impl: str, model: str) -> Trainer:
             "partition_dir": f"/tmp/aot_parts{k}", "exp_path": f"/tmp/aot_exp{k}",
             "synth_kwargs": {"n": 128 * k, "blocks": 4, "num_feats": 96,
                              "seed": 0},
+            **extra,
         },
     )
     return Trainer(cfg)
 
 
 CASES = (
-    ("v5e:2x2", 4, "strip", "gcn"),
-    ("v5e:2x4", 8, "strip", "gcn"),
-    ("v5e:2x2", 4, "strip", "sage"),
-    ("v5e:2x2", 4, "block", "gcn"),
-    ("v5e:2x4", 8, "block", "gcn"),
+    ("v5e:2x2", 4, "strip", "gcn", {}),
+    ("v5e:2x4", 8, "strip", "gcn", {}),
+    ("v5e:2x2", 4, "strip", "sage", {}),
+    ("v5e:2x2", 4, "block", "gcn", {}),
+    ("v5e:2x4", 8, "block", "gcn", {}),
+    # mixed-width wire: 2/4/8/32 buckets incl. raw-fp32 lanes (round 4)
+    ("v5e:2x2", 4, "strip", "gcn", {"fp32_lanes": True}),
 )
 
 
 def main():
     out = {"reports": []}
-    for topo, k, impl, model in CASES:
+    for topo, k, impl, model, extra in CASES:
         t0 = time.perf_counter()
         try:
-            rep = aot_compile_train_step(build_trainer(k, impl, model), topo)
+            rep = aot_compile_train_step(
+                build_trainer(k, impl, model, **extra), topo
+            )
         except Exception as e:
             rep = {"ok": False, "topology": topo, "err": repr(e)[:500]}
         rep["impl"] = impl
         rep["model"] = model
+        rep.update(extra)
         rep["compile_s"] = round(time.perf_counter() - t0, 1)
         out["reports"].append(rep)
         print(json.dumps(rep))
