@@ -382,10 +382,154 @@ def phase_project():
     })
 
 
+def phase_mixed():
+    """The fp32-lanes capstone: on a realistic 2-host x 4-chip fabric
+    (ICI within a host, one shared DCN NIC per host) run the ACTUAL
+    adaptive MILP with bits_options=WIRE_BITS_SET and project the epoch of
+    its mixed assignment against all-fp32 (Vanilla) and all-q8.
+
+    Cost accounting is mode-fair here: every mode pays the wire pack
+    (descriptor-bound, measured 32-40 ms/exchange — fp rows ride the same
+    row-granular scatter), quantize+dequantize is charged by the fraction
+    of lanes the assignment actually quantizes, and overlap credit applies
+    to every mode (the schedule hides wire behind the local SpMM
+    regardless of precision)."""
+    from adaqp_tpu.assigner import Assigner, AssignerConfig
+    from adaqp_tpu.comm.wire import wire_from_assignment
+    from adaqp_tpu.common.types import WIRE_BITS_SET
+    from adaqp_tpu.graph.layout import load_layout
+
+    with open(ARTIFACT) as f:
+        art = json.load(f)
+    pas = art.get("pass")
+    assert pas, "run --phase pass on the chip first"
+    pass_ms = {int(k): v for k, v in pas["strip_pass_ms"].items()}
+    qd = pas["quant_detail"]
+    # per-exchange costs (ms) at the measured boundary
+    qd128 = qd["1857536x128"]
+    qd256 = qd["1857536x256"]
+
+    lay = load_layout(_layout_cache_key())
+    assert lay is not None, "run --phase layout first"
+    plan = lay.plan_fwd
+    dims = [F] + [HIDDEN] * (LAYERS - 1)
+
+    # ---- fabric: chips 0-3 host A, 4-7 host B ----
+    ici_bw, dcn_bw = 45e9, 12.5e9
+    host = np.arange(K) // 4
+    same = host[:, None] == host[None, :]
+    alpha = np.where(same, 1.0 / 45.0, 1.0 / 12.5)  # ms per MB
+    np.fill_diagonal(alpha, 0.0)
+    beta = np.full((K, K), 0.01)
+    np.fill_diagonal(beta, 0.0)
+
+    # ---- the real MILP on synthetic (uniform) traces ----
+    rng = np.random.default_rng(0)
+    fwd_tr = rng.uniform(0.1, 1.0, (LAYERS,) + plan.send_idx.shape).astype(np.float32)
+    bwd_tr = rng.uniform(0.1, 1.0, (LAYERS, K, plan.r_pad)).astype(np.float32)
+    acfg = AssignerConfig(group_size=2000, coe_lambda=0.5, wire_feats=F,
+                          bits_options=WIRE_BITS_SET)
+    t0 = time.perf_counter()
+    asg = Assigner(plan, LAYERS, acfg, cost_model=(alpha, beta)).assign(
+        fwd_tr, bwd_tr
+    )
+    solve_s = time.perf_counter() - t0
+
+    def lane_stats(a_fwd):
+        ici_bits, dcn_bits, n_q, n_tot = [], [], 0, 0
+        for layer in range(LAYERS):
+            for s in range(K):
+                for r in range(K):
+                    cnt = int(plan.counts[s, r])
+                    if s == r or cnt == 0:
+                        continue
+                    v = a_fwd[layer][s, r, :cnt].astype(np.float64)
+                    (ici_bits if same[s, r] else dcn_bits).append(v.mean())
+                    n_q += int((v < 32).sum())
+                    n_tot += cnt
+        return np.mean(ici_bits), np.mean(dcn_bits), n_q / n_tot
+
+    mean_ici, mean_dcn, q_frac = lane_stats(asg.fwd)
+    log(f"MILP ({solve_s:.1f}s): mean bits ICI={mean_ici:.1f} "
+        f"DCN={mean_dcn:.1f}, quantized lane fraction {q_frac:.2f}")
+
+    # ---- wires for the three policies ----
+    from adaqp_tpu.assigner.assignment import uniform_assignment
+
+    wires = {
+        "Vanilla fp32": wire_from_assignment(
+            plan, uniform_assignment(plan, LAYERS, 32), dims,
+            bits_set=WIRE_BITS_SET),
+        "all-q8": wire_from_assignment(
+            plan, uniform_assignment(plan, LAYERS, 8), dims,
+            bits_set=WIRE_BITS_SET),
+        "MILP mixed": wire_from_assignment(plan, asg, dims,
+                                           bits_set=WIRE_BITS_SET),
+    }
+    qfracs = {"Vanilla fp32": 0.0, "all-q8": 1.0, "MILP mixed": q_frac}
+
+    # hideable local SpMM per chip per exchange (as in phase_project)
+    sent = lay.l_max
+    local_e = (np.asarray(lay.fwd_local[1]) != sent).sum(axis=1).astype(float)
+    halo_e = (np.asarray(lay.fwd_halo[1]) != sent).sum(axis=1).astype(float)
+    frac = local_e / float(local_e.sum() + halo_e.sum())
+    width = lambda f: 128 if f <= 128 else 256
+    ws = [width(d) for d in dims] + [width(HIDDEN)] * (LAYERS - 1)
+    central = np.stack([pass_ms[w] * frac for w in ws])  # [n_ex, K] ms
+
+    comp = ONE_CHIP_EPOCH_S / K
+    rows = []
+    print(f"\nmixed-fabric (2 hosts x 4 chips; ICI {ici_bw/1e9:.0f} GB/s "
+          f"intra, shared {dcn_bw/1e9:.1f} GB/s DCN NIC/host) projected "
+          f"epoch; compute {comp*1e3:.0f} ms; pack charged to every mode:")
+    for name, plans in wires.items():
+        qf = qfracs[name]
+        # per-exchange pair-byte matrices
+        t_wire = 0.0
+        ex = 0
+        extra = 0.0
+        for fwd, bwd in plans:
+            for d in (fwd, bwd):
+                if d is None:
+                    continue
+                b = np.asarray(d.send_sz, np.float64) * 4.0
+                ici_t = (b * same).sum(axis=1) / ici_bw        # [K] s
+                dcn_per_host = np.array([
+                    b[host == h][:, host != h].sum() for h in range(2)
+                ]) / dcn_bw
+                # exchange wall-clock per chip = its ICI egress + its
+                # host's shared-NIC DCN time; overlap hides up to the
+                # chip's local-SpMM time
+                per_chip = ici_t + dcn_per_host[host]
+                t_wire += float(np.max(np.maximum(
+                    0.0, per_chip - central[ex] / 1e3)))
+                qd_ms = qd128 if ex == 0 else qd256
+                extra += (qd_ms["quant_dequant_ms"] * qf
+                          + qd_ms["pack_unpack_ms"]) / 1e3
+                ex += 1
+        t = comp + extra + t_wire
+        rows.append({"policy": name, "epoch_ms": round(t * 1e3),
+                     "overhead_ms": round(extra * 1e3)})
+        print(f"  {name:14s} {t*1e3:7.0f} ms (quant+pack {extra*1e3:.0f} ms)")
+    base = rows[0]["epoch_ms"]
+    for r in rows:
+        r["speedup_vs_vanilla"] = round(base / r["epoch_ms"], 2)
+    print("speedups vs Vanilla:",
+          {r["policy"]: r["speedup_vs_vanilla"] for r in rows[1:]})
+    update_artifact("mixed_fabric", {
+        "fabric": "2 hosts x 4 chips; ICI 45 GB/s; shared 12.5 GB/s DCN NIC",
+        "milp_solve_s": round(solve_s, 1),
+        "mean_bits_ici": round(float(mean_ici), 2),
+        "mean_bits_dcn": round(float(mean_dcn), 2),
+        "quantized_lane_frac": round(float(q_frac), 3),
+        "table": rows,
+    })
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["layout", "aot", "pass", "project"])
+                    choices=["layout", "aot", "pass", "project", "mixed"])
     args = ap.parse_args()
     if args.phase != "pass":
         # layout/aot/project are host-side; never touch the tunnel
@@ -394,7 +538,7 @@ def main():
         except Exception:
             pass
     {"layout": phase_layout, "aot": phase_aot, "pass": phase_pass,
-     "project": phase_project}[args.phase]()
+     "project": phase_project, "mixed": phase_mixed}[args.phase]()
 
 
 if __name__ == "__main__":
