@@ -34,6 +34,7 @@ from .wire import WireDir
 
 
 _FORCE_ROW_GRANULAR = None  # tests force the TPU pack form on CPU
+_FORCE_SEG = None  # tests force the capped-segment pack on/off
 
 
 def _row_granular() -> bool:
@@ -43,6 +44,17 @@ def _row_granular() -> bool:
     if _FORCE_ROW_GRANULAR is not None:
         return _FORCE_ROW_GRANULAR
     return tpu_path()
+
+
+def _seg_enabled(w: WireDir) -> bool:
+    """Capped-segment (DUS) pack: whole contiguous per-slot blocks instead
+    of one descriptor per row. Exact wires only (``w.has_seg``); even the
+    row-granular scatter pays the ~20 ns/row-descriptor gather-engine
+    floor (37.4 ms at the 1.86M-row products boundary vs 13.0 ms for the
+    DUS form, round 4)."""
+    if _FORCE_SEG is not None:
+        return _FORCE_SEG and w.has_seg
+    return w.has_seg
 
 
 def _to_width(x: jnp.ndarray, width: int, fill=0.0) -> jnp.ndarray:
@@ -93,9 +105,113 @@ def _words_to_rows(words, pwords, bits: int, f_true: int, f_wire: int, f_pad: in
     return _to_width(x, f_pad)
 
 
+def _bucket_words(w: WireDir, rows, bi: int, b: int, key, f_true: int):
+    """Quantize/bitcast one bucket's gathered rows -> (words [N, wpr],
+    param words [N] or None)."""
+    if b == 32:
+        words = lax.bitcast_convert_type(
+            _to_width(rows.astype(jnp.float32), w.fw[bi]), jnp.uint32
+        )
+        return words, None
+    return _quant_to_words(
+        rows, b, jax.random.fold_in(key, bi), f_true, w.fw[bi]
+    )
+
+
+def _seg_pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
+    """Capped-segment pack: per (slot, bucket) one dynamic_update_slice of
+    a contiguous block at its REAL word base. Writes go in ascending-base
+    order (slot-major, then bucket, then that slot's params), so a capped
+    block's junk tail — written past this shard's real count — is healed
+    by the next block's write; the final tails land in the slack region
+    past the shipped words (``wire.py`` sizes ``sb_cap`` for it)."""
+    nb = len(w.bits)
+    nslots = w.sg_base[0].shape[0] if nb else 0
+    words = [None] * nb
+    pwords = [None] * nb
+    for bi, b in enumerate(w.bits):
+        if w.sgq_rows[bi].shape[0] == 0:
+            continue
+        rows = src[w.sgq_rows[bi]]  # [S_b, F]; _PAD lanes clamp-gather junk
+        words[bi], pwords[bi] = _bucket_words(w, rows, bi, b, key, f_true)
+    sendbuf = jnp.zeros((w.sb_cap,), jnp.uint32)
+    for j in range(nslots):
+        for bi in range(nb):
+            cap = w.sg_cap[bi][j]
+            if cap == 0 or words[bi] is None:
+                continue
+            wpr = w.wpr[bi]
+            blk = lax.dynamic_slice_in_dim(words[bi], w.sg_start[bi][j], cap, 0)
+            buf2 = sendbuf.reshape(-1, wpr)
+            buf2 = lax.dynamic_update_slice(buf2, blk, (w.sg_base[bi][j] // wpr, 0))
+            sendbuf = buf2.reshape(-1)
+        for bi in range(nb):
+            cap = w.sg_cap[bi][j]
+            if cap == 0 or pwords[bi] is None:
+                continue
+            blkp = lax.dynamic_slice_in_dim(pwords[bi], w.sg_start[bi][j], cap, 0)
+            sendbuf = lax.dynamic_update_slice_in_dim(
+                sendbuf, blkp, w.sg_pbase[bi][j], 0
+            )
+    return sendbuf
+
+
+def _seg_unpack_dir(
+    w: WireDir,
+    recvbuf: jnp.ndarray,
+    out_len: int,
+    scatter_add: bool,
+    f_true: int,
+    f_pad: int,
+) -> jnp.ndarray:
+    """Capped-segment unpack: per (slot, bucket) one dynamic_slice of a
+    contiguous block (junk rows past the real count carry _PAD scatter
+    rows and drop)."""
+    nb = len(w.bits)
+    nslots = w.sg_rbase[0].shape[0] if nb else 0
+    out = jnp.zeros((out_len, f_pad), jnp.float32)
+    for bi, b in enumerate(w.bits):
+        if w.sgd_rows[bi].shape[0] == 0:
+            continue
+        wpr = w.wpr[bi]
+        blocks = []
+        pblocks = []
+        for j in range(nslots):
+            cap = w.sg_cap[bi][j]
+            if cap == 0:
+                continue
+            blocks.append(lax.dynamic_slice(
+                recvbuf.reshape(-1, wpr), (w.sg_rbase[bi][j] // wpr, 0),
+                (cap, wpr),
+            ))
+            if b != 32:
+                pblocks.append(lax.dynamic_slice_in_dim(
+                    recvbuf, w.sg_rpbase[bi][j], cap, 0
+                ))
+        if not blocks:
+            continue
+        words = jnp.concatenate(blocks, axis=0)
+        # lanes with zero-cap slots were never emitted: sgd_rows orders
+        # lanes by slot prefix (sg_start), and zero-cap slots contribute
+        # no lanes, so concatenation order matches
+        if b == 32:
+            rows = lax.bitcast_convert_type(words, jnp.float32)
+            if f_true < w.fw[bi]:
+                rows = jnp.where(jnp.arange(w.fw[bi]) < f_true, rows, 0.0)
+            rows = _to_width(rows, f_pad)
+        else:
+            pw = jnp.concatenate(pblocks, axis=0)
+            rows = _words_to_rows(words, pw, b, f_true, w.fw[bi], f_pad)
+        ref = out.at[w.sgd_rows[bi]]
+        out = ref.add(rows, mode="drop") if scatter_add else ref.set(rows, mode="drop")
+    return out
+
+
 def pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
     """Quantize+pack this shard's ``src`` rows into the exact-layout send
     buffer (uint32 [sb_cap]) — the half of the exchange before the wire."""
+    if _seg_enabled(w):
+        return _seg_pack_dir(w, src, key, f_true)
     sendbuf = jnp.zeros((w.sb_cap,), jnp.uint32)
     for bi, b in enumerate(w.bits):
         cap = w.q_rows[bi].shape[0]
@@ -141,6 +257,8 @@ def unpack_dir(
 ) -> jnp.ndarray:
     """Dequantize+scatter a received wire buffer into a fresh
     ``[out_len, f_pad]`` destination — the half after the wire."""
+    if _seg_enabled(w):
+        return _seg_unpack_dir(w, recvbuf, out_len, scatter_add, f_true, f_pad)
     out = jnp.zeros((out_len, f_pad), jnp.float32)
     for bi, b in enumerate(w.bits):
         cap = w.d_rows[bi].shape[0]

@@ -315,7 +315,7 @@ def phase_project():
     pas = art.get("pass")
     assert pas, "run --phase pass on the chip first"
     pass_ms = {int(k): v for k, v in pas["strip_pass_ms"].items()}
-    quant_s = pas["quant_total_s"]
+    pb = art.get("packbench")
 
     lay = load_layout(_layout_cache_key())
     assert lay is not None, "run --phase layout first"
@@ -323,6 +323,22 @@ def phase_project():
     dims = [F] + [HIDDEN] * (LAYERS - 1)
     fp = wire_fp(plan, dims, LAYERS)
     q8 = wire_from_assignment(plan, uniform_assignment(plan, LAYERS, 8), dims)
+
+    def overhead_s(kind):
+        """Per-step serial wire-compute overhead (quantize+pack+unpack,
+        measured on the REAL pack path at this boundary — packbench seg
+        form; 1 feature-width exchange + 2L-2 hidden-width ones). The
+        pack halves are charged to EVERY mode — fp rows ride the same
+        machinery (round-4 fairness fix; the earlier synthetic probe
+        understated both)."""
+        if pb is None:
+            return pas["quant_total_s"] if kind == "q8" else 0.0
+        pre = "" if kind == "q8" else "fp_"
+        return (pb[f"{pre}F100_seg_ms"]
+                + (2 * LAYERS - 2) * pb[f"{pre}F256_seg_ms"]) / 1e3
+
+    fp_ov = overhead_s("fp")
+    q8_ov = overhead_s("q8")
 
     def chip_bytes(plans):
         out = []
@@ -358,10 +374,10 @@ def phase_project():
         )
 
     for link, bw in LINKS.items():
-        t_v = comp + sum(float(b.max()) for b in fp_b) / bw
-        t_q = comp + sum(float(b.max()) for b in q8_b) / bw + quant_s
-        t_p = comp + unhidden(fp_b, bw)
-        t_qp = comp + quant_s + unhidden(q8_b, bw)
+        t_v = comp + fp_ov + sum(float(b.max()) for b in fp_b) / bw
+        t_q = comp + q8_ov + sum(float(b.max()) for b in q8_b) / bw
+        t_p = comp + fp_ov + unhidden(fp_b, bw)
+        t_qp = comp + q8_ov + unhidden(q8_b, bw)
         rows.append({
             "link": link, "vanilla_ms": round(t_v * 1e3),
             "adaqp_q8_ms": round(t_q * 1e3), "adaqp_p_ms": round(t_p * 1e3),
@@ -380,6 +396,73 @@ def phase_project():
     update_artifact("projection", {
         "one_chip_epoch_s": ONE_CHIP_EPOCH_S, "egress": egress, "table": rows,
     })
+
+
+def phase_packbench(iters=10):
+    """On-chip: the REAL pack_dir/unpack_dir at products-scale boundary
+    shapes, capped-segment (DUS) form vs row-granular form (round 4).
+    Single-chip: times the compute halves only (the collective needs a
+    mesh); shard 0 of the K=8 uniform-q8 exact wire."""
+    import jax.numpy as jnp
+
+    from adaqp_tpu.assigner.assignment import uniform_assignment
+    from adaqp_tpu.comm import exchange_ragged as xr
+    from adaqp_tpu.comm.wire import wire_from_assignment
+    from adaqp_tpu.graph.layout import load_layout
+
+    assert jax.devices()[0].platform == "tpu", "--phase packbench needs the chip"
+    from adaqp_tpu.comm.wire import wire_fp
+
+    lay = load_layout(_layout_cache_key())
+    assert lay is not None, "run --phase layout first"
+    plan = lay.plan_fwd
+    dims = [F] + [HIDDEN] * (LAYERS - 1)
+    wires = wire_from_assignment(
+        plan, uniform_assignment(plan, LAYERS, 8), dims
+    )
+    fpw = wire_fp(plan, dims, LAYERS)
+    report = {}
+    for label, (w, _) in (("F100", wires[0]), ("F256", wires[1]),
+                          ("fp_F100", fpw[0]), ("fp_F256", fpw[1])):
+        wl = jax.tree.map(lambda a: np.asarray(a)[0], w)
+        n_src = int(lay.l_max)  # gather sources are local rows
+        rng = np.random.default_rng(0)
+        f_pad = 128 if label.endswith("F100") else 256
+        f_true = F if label.endswith("F100") else HIDDEN
+        src = jnp.asarray(rng.normal(size=(n_src, f_pad)).astype(np.float32))
+        recv = jnp.asarray(
+            rng.integers(0, 2**10, int(wl.rb_cap), dtype=np.int64
+                         ).astype(np.uint32)
+        )
+        key = jax.random.PRNGKey(0)
+        wdev = jax.tree.map(jnp.asarray, wl)
+        for form, seg in (("seg", True), ("row", False)):
+            xr._FORCE_SEG = seg
+            xr._FORCE_ROW_GRANULAR = None if seg else True
+
+            @jax.jit
+            def loop(src, recv, wdev):
+                def body(i, carry):
+                    buf = xr.pack_dir(wdev, src, jax.random.fold_in(key, i),
+                                      f_true)
+                    out = xr.unpack_dir(
+                        wdev, recv + buf[0], plan.r_pad, False, f_true, f_pad,
+                    )
+                    return carry + out.sum(dtype=jnp.float32)
+
+                return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+            out = loop(src, recv, wdev)
+            _ = float(out)
+            t0 = time.perf_counter()
+            out = loop(src, recv, wdev)
+            _ = float(out)
+            dt = (time.perf_counter() - t0) / iters * 1e3
+            report[f"{label}_{form}_ms"] = round(dt, 2)
+            log(f"pack+unpack {label} {form}: {dt:.2f} ms")
+        xr._FORCE_SEG = None
+        xr._FORCE_ROW_GRANULAR = None
+    update_artifact("packbench", report)
 
 
 def phase_mixed():
@@ -404,10 +487,13 @@ def phase_mixed():
     pas = art.get("pass")
     assert pas, "run --phase pass on the chip first"
     pass_ms = {int(k): v for k, v in pas["strip_pass_ms"].items()}
-    qd = pas["quant_detail"]
-    # per-exchange costs (ms) at the measured boundary
-    qd128 = qd["1857536x128"]
-    qd256 = qd["1857536x256"]
+    pb = art.get("packbench")
+    assert pb, "run --phase packbench on the chip first"
+    # per-exchange wire-compute cost (ms), REAL pack path (seg form),
+    # measured per wire precision; a mixed assignment interpolates by its
+    # quantized-lane fraction
+    ov_q = {128: pb["F100_seg_ms"], 256: pb["F256_seg_ms"]}
+    ov_fp = {128: pb["fp_F100_seg_ms"], 256: pb["fp_F256_seg_ms"]}
 
     lay = load_layout(_layout_cache_key())
     assert lay is not None, "run --phase layout first"
@@ -503,9 +589,8 @@ def phase_mixed():
                 per_chip = ici_t + dcn_per_host[host]
                 t_wire += float(np.max(np.maximum(
                     0.0, per_chip - central[ex] / 1e3)))
-                qd_ms = qd128 if ex == 0 else qd256
-                extra += (qd_ms["quant_dequant_ms"] * qf
-                          + qd_ms["pack_unpack_ms"]) / 1e3
+                w_e = 128 if ex == 0 else 256
+                extra += (qf * ov_q[w_e] + (1 - qf) * ov_fp[w_e]) / 1e3
                 ex += 1
         t = comp + extra + t_wire
         rows.append({"policy": name, "epoch_ms": round(t * 1e3),
@@ -529,16 +614,18 @@ def phase_mixed():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["layout", "aot", "pass", "project", "mixed"])
+                    choices=["layout", "aot", "pass", "project", "mixed",
+                             "packbench"])
     args = ap.parse_args()
-    if args.phase != "pass":
-        # layout/aot/project are host-side; never touch the tunnel
+    if args.phase not in ("pass", "packbench"):
+        # layout/aot/project/mixed are host-side; never touch the tunnel
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
     {"layout": phase_layout, "aot": phase_aot, "pass": phase_pass,
-     "project": phase_project, "mixed": phase_mixed}[args.phase]()
+     "project": phase_project, "mixed": phase_mixed,
+     "packbench": phase_packbench}[args.phase]()
 
 
 if __name__ == "__main__":

@@ -222,8 +222,14 @@ def test_static_shapes_stable_and_exact(rng):
                 np.testing.assert_array_equal(bs.send_sz, be.send_sz)
 
 
-def test_static_shapes_exchange_matches_exact(rng):
-    # the bounded-allocation plans must produce identical exchange results
+def test_static_shapes_exchange_matches_exact(rng, monkeypatch):
+    # the bounded-allocation plans must produce identical exchange results.
+    # Both forms are pinned to the row-granular pack: exact wires default
+    # to the capped-segment pack, whose PRNG positions differ by layout,
+    # so cross-form bit-equality only holds form-for-form.
+    from adaqp_tpu.comm import exchange_ragged as xr
+
+    monkeypatch.setattr(xr, "_FORCE_SEG", False)
     g, lay, asg, dims, plans = _layout_and_plans(num_layers=2)
     plan = lay.plan_fwd
     f = lay.num_feats
@@ -293,6 +299,7 @@ def test_row_granular_pack_matches_word_form(rng, monkeypatch):
         grad = jax.grad(lambda h: fn(h, sink, (wf, wb, gw))[1].sum())(h)
         return np.asarray(rem), np.asarray(grad)
 
+    monkeypatch.setattr(xr, "_FORCE_SEG", False)  # compare row vs word
     for wf, wb, ft in ((w1f, w1b, dims[1]), (wfp[0], wfp[1], lay.f_true)):
         use_keys = wf is not wfp[0]
         monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", False)
@@ -301,6 +308,17 @@ def test_row_granular_pack_matches_word_form(rng, monkeypatch):
         rem_r, g_r = run(wf, wb, ft, use_keys)
         np.testing.assert_array_equal(rem_r, rem_w)
         np.testing.assert_array_equal(g_r, g_w)
+    # the capped-SEGMENT pack (the default for these exact wires) must be
+    # bit-identical on the fp32 wire, where no stochastic rounding is
+    # drawn (quantized buckets draw per-layout PRNG positions, so their
+    # seg-vs-row equivalence is the roundtrip-tolerance test's job)
+    monkeypatch.setattr(xr, "_FORCE_SEG", None)
+    rem_s, g_s = run(wfp[0], wfp[1], lay.f_true, False)
+    monkeypatch.setattr(xr, "_FORCE_SEG", False)
+    monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", None)
+    rem_w, g_w = run(wfp[0], wfp[1], lay.f_true, False)
+    np.testing.assert_array_equal(rem_s, rem_w)
+    np.testing.assert_array_equal(g_s, g_w)
 
 
 def test_fp32_lanes_mixed_wire(rng):
