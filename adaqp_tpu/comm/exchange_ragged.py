@@ -68,22 +68,26 @@ def _to_width(x: jnp.ndarray, width: int, fill=0.0) -> jnp.ndarray:
 
 
 def _quant_to_words(rows, bits: int, key, f_true: int, f_wire: int):
-    """rows [N, F] -> (data words u32 [N, wpr], param words u32 [N])."""
+    """rows [N, F] -> (data words u32 [N, wpr], param words u32 [N]).
+
+    Words are in the word-interleaved format (``quant.pack_words``) on
+    EVERY backend — the fused Pallas kernel and the portable jnp path
+    produce the identical layout, so sender/receiver gate independently.
+    """
     n = rows.shape[0]
-    if tpu_path() and rows.shape[1] % 128 == 0:
+    if tpu_path() and rows.shape[1] % 128 == 0 and f_wire <= rows.shape[1]:
         from ..ops import quant_pallas
 
         n_pad = -(-max(n, 1) // quant_pallas.ROW_BLOCK) * quant_pallas.ROW_BLOCK
         x = jnp.pad(rows, ((0, n_pad - n), (0, 0)))
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-        q, scale, rmin = quant_pallas.quantize_rows_tpu(x, bits, seed, f_true=f_true)
-        q, scale, rmin = q[:n], scale[:n], rmin[:n]
+        words, scale, rmin = quant_pallas.quantize_pack_rows_tpu(
+            x, bits, seed, f_wire, f_true=f_true
+        )
+        words, scale, rmin = words[:n], scale[:n], rmin[:n]
     else:
         q, scale, rmin = quant.quantize_rows(rows, bits, key, f_true=f_true)
-    packed = quant.pack_rows(_to_width(q, f_wire), bits)  # u8 [N, f_wire*b/8]
-    words = lax.bitcast_convert_type(
-        packed.reshape(n, f_wire * bits // 32, 4), jnp.uint32
-    )
+        words = quant.pack_words(_to_width(q, f_wire), bits)
     params = jnp.stack([scale, rmin], axis=-1).astype(jnp.bfloat16)
     pword = lax.bitcast_convert_type(params.reshape(n, 1, 2), jnp.uint32)[:, 0]
     return words, pword
@@ -92,13 +96,24 @@ def _quant_to_words(rows, bits: int, key, f_true: int, f_wire: int):
 def _words_to_rows(words, pwords, bits: int, f_true: int, f_wire: int, f_pad: int):
     """(data words [N, wpr], param words [N]) -> f32 rows [N, f_pad]."""
     n = words.shape[0]
-    u8 = lax.bitcast_convert_type(words, jnp.uint8).reshape(n, -1)
-    q = quant.unpack_rows(u8, bits, f_wire)
     params = lax.bitcast_convert_type(
         pwords.reshape(n, 1), jnp.bfloat16
     ).reshape(n, 2)
     scale = params[:, 0].astype(jnp.float32)
     rmin = params[:, 1].astype(jnp.float32)
+    if tpu_path() and f_pad % 128 == 0 and f_wire <= f_pad:
+        from ..ops import quant_pallas
+
+        rb = quant_pallas.ROW_BLOCK
+        n_pad = -(-max(n, 1) // rb) * rb
+        x = quant_pallas.unpack_dequantize_rows_tpu(
+            jnp.pad(words, ((0, n_pad - n), (0, 0))),
+            jnp.pad(scale, (0, n_pad - n), constant_values=1.0),
+            jnp.pad(rmin, (0, n_pad - n)),
+            bits, f_true, f_wire, f_pad,
+        )
+        return x[:n]
+    q = quant.unpack_words(words, bits, f_wire)
     x = q.astype(jnp.float32) / scale[:, None] + rmin[:, None]
     if f_true < f_wire:
         x = jnp.where(jnp.arange(f_wire) < f_true, x, 0.0)

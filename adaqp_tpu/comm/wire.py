@@ -313,11 +313,12 @@ def _build_dir(
                 fill_d[bi] += c
                 lane_cursor += c
 
-    # ---- capped-segment (DUS) pack metadata — exact wires only ----
-    # static_shapes wires re-fit new assignments into fixed brackets, so
-    # their per-slot counts drift per reassignment; the capped layout
-    # would retrace. They keep the row-granular pack.
-    has_seg = not static_shapes
+    # ---- capped-segment (DUS) pack metadata ----
+    # exact wires: caps = max-over-shards counts. static_shapes wires:
+    # per-slot caps rounded to pow2 so reassignments that keep each
+    # slot-bucket inside its bracket produce identically-shaped metadata
+    # (jit cache hit) — bases stay exact per assignment (traced data).
+    has_seg = True
     sgq_rows: Tuple = ()
     sgd_rows: Tuple = ()
     sg_base: Tuple = ()
@@ -333,7 +334,7 @@ def _build_dir(
         # receiver wr's j-th peer (peers[wr][j] -> wr) — across all shards
         cap_mat = []
         for bi in range(nb):
-            cap_mat.append(tuple(
+            caps = [
                 max(
                     max((len(lanes.get((ws, peers[ws][j], bi), ((), ()))[0])
                          for ws in range(k)), default=0),
@@ -341,7 +342,10 @@ def _build_dir(
                          for wr in range(k)), default=0),
                 )
                 for j in range(k - 1)
-            ))
+            ]
+            if static_shapes:
+                caps = [_pow2(c) if c else 0 for c in caps]
+            cap_mat.append(tuple(caps))
         sg_cap = tuple(cap_mat)
         sg_start = tuple(
             tuple(int(np.cumsum([0] + list(c))[j]) for j in range(k - 1))

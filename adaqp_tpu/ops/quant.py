@@ -152,6 +152,41 @@ def unpack_rows(p: jnp.ndarray, bits: int, f_pad: int) -> jnp.ndarray:
     return g.reshape(n, f_pad).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("bits",))
+def pack_words(q: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Pack uint8 codes [N, F_wire] into u32 wire WORDS [N, F_wire*bits/32].
+
+    Word-interleaved layout (the ragged wire's native format): word ``j`` of
+    a row holds the codes of feature columns ``{t*wpr + j : t in [0, m)}``
+    (``m = 32//bits``, ``wpr = F_wire//m``), code ``t`` at bit offset
+    ``t*bits``. Unlike the byte-packed form (:func:`pack_rows` + a u8->u32
+    bitcast, whose (32,128)->(8,128) tile relayout costs ~100 ms at the
+    products-scale boundary on TPU), every slot is a CONTIGUOUS [N, wpr]
+    slice of the code matrix — shift-or over m slices, no byte relayout —
+    and the same construction runs inside the fused Pallas kernel
+    (``quant_pallas.quantize_pack_rows_tpu``).
+    """
+    m = 32 // bits
+    n, fw = q.shape
+    if fw % m:
+        raise ValueError(f"feature dim {fw} not word-aligned for bits={bits}")
+    g = q.astype(jnp.uint32).reshape(n, m, fw // m)
+    shifts = (jnp.arange(m, dtype=jnp.uint32) * bits)[None, :, None]
+    # slots occupy disjoint bit ranges: sum == bitwise-or
+    return (g << shifts).sum(axis=1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("bits", "f_wire"))
+def unpack_words(w: jnp.ndarray, bits: int, f_wire: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_words`: u32 words [N, wpr] -> codes u8 [N, F_wire]."""
+    m = 32 // bits
+    n = w.shape[0]
+    shifts = (jnp.arange(m, dtype=jnp.uint32) * bits)[None, :, None]
+    mask = jnp.uint32(2**bits - 1)
+    g = (w[:, None, :] >> shifts) & mask  # [N, m, wpr]
+    return g.reshape(n, f_wire).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("bits", "stochastic", "f_true"))
 def message_quantize(
     x: jnp.ndarray,

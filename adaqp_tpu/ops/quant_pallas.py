@@ -100,6 +100,165 @@ def quantize_rows_tpu(
     return q, scale[:, 0], rmin[:, 0]
 
 
+def _quant_pack_kernel(
+    bits: int, f_true: int, f_wire: int, seed_ref, x_ref, w_ref, scale_ref,
+    rmin_ref,
+):
+    """Fused quantize + word-pack: f32 rows -> u32 wire words in one VMEM
+    pass. The word-interleaved layout (``quant.pack_words``) makes each
+    in-word slot a CONTIGUOUS lane slice of the code matrix, so packing is
+    m shift-or'd slices — the u8 code matrix never exists in HBM (the
+    separate u8->u32 bitcast path cost ~100 ms/exchange at the 1.86M-row
+    products boundary: a (32,128)->(8,128) tile relayout over 186 MB)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    if f_true < x.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) < f_true
+        rmin = jnp.min(jnp.where(col, x, jnp.inf), axis=1, keepdims=True)
+        rmax = jnp.max(jnp.where(col, x, -jnp.inf), axis=1, keepdims=True)
+    else:
+        rmin = jnp.min(x, axis=1, keepdims=True)
+        rmax = jnp.max(x, axis=1, keepdims=True)
+    scale = (2.0**bits - 1.0) / jnp.maximum(rmax - rmin, _RANGE_EPS)
+    y = (x - rmin) * scale
+    rb = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
+    u = (rb & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+    q = jnp.clip(jnp.floor(y + u), 0.0, 2.0**bits - 1.0).astype(jnp.int32)
+    m = 32 // bits
+    wpr = f_wire // m
+    # PRE-shift every code by its in-word bit offset (elementwise, iota on
+    # the full block), then OR the m un-shifted slot slices. Shifting the
+    # SLICES instead (`q[:, t*wpr:..] << bits*t`) mis-lowers in Mosaic for
+    # row blocks > 8: contributions to bits 16..22 of the word are dropped
+    # unless bit 23 is set (observed on v5e at RB>=64, any bits; fine at
+    # RB=8) — shift-of-unaligned-slice across multiple sublane vregs is
+    # the trigger, so keep shifts full-width and slices shift-free.
+    col = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    qs = q << (jnp.int32(bits) * jnp.clip(col // wpr, 0, m - 1))
+    w = qs[:, 0:wpr]
+    for t in range(1, m):
+        w = w | qs[:, t * wpr : (t + 1) * wpr]
+    w_ref[:] = pltpu.bitcast(w, jnp.uint32)
+    scale_ref[:] = scale
+    rmin_ref[:] = rmin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "f_wire", "interpret", "f_true")
+)
+def quantize_pack_rows_tpu(
+    x: jnp.ndarray,
+    bits: int,
+    seed: jnp.ndarray,
+    f_wire: int,
+    interpret: bool = False,
+    f_true: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Quantize + pack rows of ``x`` [N, F] (N % ROW_BLOCK == 0) into the
+    word-interleaved wire format.
+
+    Returns ``(words u32 [N, f_wire*bits/32], scale f32 [N], rmin f32 [N])``
+    — ``words`` equals ``quant.pack_words(q[:, :f_wire], bits)`` for the
+    codes ``q`` this kernel's PRNG stream draws (same stream as
+    :func:`quantize_rows_tpu`)."""
+    n, f = x.shape
+    if n % ROW_BLOCK:
+        raise ValueError(f"row count {n} must be a multiple of {ROW_BLOCK}")
+    m = 32 // bits
+    if f_wire % m or f_wire > f:
+        raise ValueError(f"f_wire={f_wire} invalid for bits={bits}, F={f}")
+    wpr = f_wire * bits // 32
+    grid = (n // ROW_BLOCK,)
+    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    w, scale, rmin = pl.pallas_call(
+        functools.partial(
+            _quant_pack_kernel, bits, f if f_true is None else f_true, f_wire
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ROW_BLOCK, f), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ROW_BLOCK, wpr), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, wpr), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_arr, x)
+    return w, scale[:, 0], rmin[:, 0]
+
+
+def _unpack_dequant_kernel(
+    bits: int, f_true: int, f_wire: int, f_pad: int, w_ref, scale_ref, rmin_ref, out_ref
+):
+    """Fused word-unpack + dequantize: u32 wire words -> f32 rows, columns
+    >= f_true zeroed, zero-padded to f_pad. Arithmetic-shift-then-mask is
+    exact for every slot (the mask strips sign-extension bits)."""
+    w = pltpu.bitcast(w_ref[:], jnp.int32)
+    scale = scale_ref[:].astype(jnp.float32)
+    rmin = rmin_ref[:].astype(jnp.float32)
+    m = 32 // bits
+    wpr = f_wire // m
+    mask = jnp.int32(2**bits - 1)
+    cols = []
+    for t in range(m):
+        qt = (w >> jnp.int32(bits * t)) & mask
+        xt = qt.astype(jnp.float32) / scale + rmin
+        if f_true < (t + 1) * wpr:
+            col = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1) + (t * wpr)
+            xt = jnp.where(col < f_true, xt, 0.0)
+        cols.append(xt)
+    out = jnp.concatenate(cols, axis=1)
+    if f_wire < f_pad:
+        out = jnp.pad(out, ((0, 0), (0, f_pad - f_wire)))
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "f_true", "f_wire", "f_pad", "interpret")
+)
+def unpack_dequantize_rows_tpu(
+    w: jnp.ndarray,
+    scale: jnp.ndarray,
+    rmin: jnp.ndarray,
+    bits: int,
+    f_true: int,
+    f_wire: int,
+    f_pad: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(u32 words [N, wpr], f32 scale/rmin [N]) -> f32 rows [N, f_pad].
+
+    Inverse of :func:`quantize_pack_rows_tpu` + the portable dequant
+    semantics (``x = q/scale + rmin``, cols >= f_true zeroed)."""
+    n, wpr = w.shape
+    if n % ROW_BLOCK:
+        raise ValueError(f"row count {n} must be a multiple of {ROW_BLOCK}")
+    if f_wire * bits // 32 != wpr:
+        raise ValueError(f"f_wire={f_wire} inconsistent with wpr={wpr}")
+    grid = (n // ROW_BLOCK,)
+    return pl.pallas_call(
+        functools.partial(_unpack_dequant_kernel, bits, f_true, f_wire, f_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, wpr), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, f_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, f_pad), jnp.float32),
+        interpret=interpret,
+    )(w, scale.reshape(n, 1), rmin.reshape(n, 1))
+
+
 def _dequant_kernel(q_ref, scale_ref, rmin_ref, out_ref):
     scale = scale_ref[:].astype(jnp.float32)
     rmin = rmin_ref[:].astype(jnp.float32)

@@ -161,3 +161,49 @@ def test_pallas_dequant_interpret(rng):
     xh = quant_pallas.dequantize_rows_tpu(q, scale, rmin, interpret=True)
     ref = quant.dequantize_rows(q, scale, rmin, 4)
     np.testing.assert_allclose(np.asarray(xh), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_pack_words_roundtrip_and_layout(bits, rng):
+    # word-interleaved wire format: word j of a row packs the codes of
+    # columns {t*wpr + j}, code t at bit offset t*bits
+    from adaqp_tpu.comm.wire import wire_cols
+
+    n = 32
+    fw = wire_cols(601, bits)
+    m = 32 // bits
+    wpr = fw // m
+    q = jnp.asarray(rng.integers(0, 2**bits, size=(n, fw)), dtype=jnp.uint8)
+    w = quant.pack_words(q, bits)
+    assert w.shape == (n, wpr) and w.dtype == jnp.uint32
+    np.testing.assert_array_equal(
+        np.asarray(quant.unpack_words(w, bits, fw)), np.asarray(q)
+    )
+    wn = np.asarray(w)
+    qn = np.asarray(q).astype(np.uint32)
+    for t in range(m):
+        got = (wn >> (bits * t)) & (2**bits - 1)
+        np.testing.assert_array_equal(got, qn[:, t * wpr:(t + 1) * wpr])
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_pallas_unpack_dequant_interpret(bits, rng):
+    # the fused word-unpack+dequant kernel must reproduce the portable
+    # unpack_words + dequant + f_true masking + f_pad padding exactly
+    # (PRNG-free, so interpretable on CPU; the fused quantize+pack twin
+    # needs the hardware PRNG -> tests_tpu/test_pallas_tpu.py)
+    from adaqp_tpu.comm.wire import wire_cols
+
+    n, f_pad, f_true = quant_pallas.ROW_BLOCK, 256, 100
+    fw = wire_cols(f_true, bits)
+    x = jnp.asarray(rng.normal(size=(n, f_pad)), dtype=jnp.float32)
+    q, scale, rmin = quant.quantize_rows(x, bits, jax.random.PRNGKey(3), f_true=f_true)
+    w = quant.pack_words(q[:, :fw], bits)
+    got = quant_pallas.unpack_dequantize_rows_tpu(
+        w, scale, rmin, bits, f_true, fw, f_pad, interpret=True
+    )
+    ref = quant.unpack_words(w, bits, fw).astype(jnp.float32)
+    ref = ref / scale[:, None] + rmin[:, None]
+    ref = jnp.where(jnp.arange(fw) < f_true, ref, 0.0)
+    ref = jnp.pad(ref, ((0, 0), (0, f_pad - fw)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

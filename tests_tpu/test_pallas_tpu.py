@@ -46,3 +46,36 @@ def test_quant_kernel_unbiased():
     bias = acc / reps - np.asarray(x)
     sigma = (1.0 / np.asarray(scale))[:, None] / np.sqrt(6.0 * reps)
     assert np.abs(bias / sigma).max() < 7.0
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_quant_pack_kernel_matches_unfused(bits):
+    # the fused quantize+word-pack kernel must agree with the unfused
+    # quantize_rows_tpu + portable pack_words for the SAME PRNG stream
+    # (same seed words, same grid), and its roundtrip through the fused
+    # unpack+dequant kernel must obey the one-step error bound
+    from adaqp_tpu.comm.wire import wire_cols
+
+    rng = np.random.default_rng(2)
+    n, f, f_true = 512, 128, 100
+    fw = wire_cols(f_true, bits)
+    x = jnp.asarray(rng.normal(size=(n, f)), dtype=jnp.float32)
+    w, scale, rmin = quant_pallas.quantize_pack_rows_tpu(x, bits, 7, fw, f_true=f_true)
+    q_ref, scale_ref, rmin_ref = quant_pallas.quantize_rows_tpu(x, bits, 7, f_true=f_true)
+    np.testing.assert_array_equal(np.asarray(scale), np.asarray(scale_ref))
+    np.testing.assert_array_equal(np.asarray(rmin), np.asarray(rmin_ref))
+    w_ref = quant.pack_words(q_ref[:, :fw], bits)
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_ref))
+    xh = quant_pallas.unpack_dequantize_rows_tpu(w, scale, rmin, bits, f_true, fw, f)
+    step = 1.0 / np.asarray(scale)
+    err = np.abs(np.asarray(xh)[:, :f_true] - np.asarray(x)[:, :f_true])
+    assert (err <= step[:, None] * (1 + 1e-5)).all()
+    assert (np.asarray(xh)[:, f_true:] == 0).all()
+    # and the fused unpack must match the portable word-decode + dequant
+    # to float rounding (same q/scale+rmin f32 arithmetic)
+    qd = quant.unpack_words(w, bits, fw).astype(jnp.float32)
+    ref = qd / scale[:, None] + rmin[:, None]
+    ref = jnp.where(jnp.arange(fw) < f_true, ref, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(xh)[:, :fw], np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
