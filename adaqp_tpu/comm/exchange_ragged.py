@@ -24,6 +24,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -120,17 +121,58 @@ def _words_to_rows(words, pwords, bits: int, f_true: int, f_wire: int, f_pad: in
     return _to_width(x, f_pad)
 
 
-def _bucket_words(w: WireDir, rows, bi: int, b: int, key, f_true: int):
-    """Quantize/bitcast one bucket's gathered rows -> (words [N, wpr],
-    param words [N] or None)."""
+_PARAM_ONE = np.uint32(0x3F80)  # (scale=1.0, rmin=0.0) as packed bf16 pair
+
+
+def _bucket_words(w: WireDir, src, bi: int, b: int, key, f_true: int, pos):
+    """Quantize/bitcast one bucket's UNIQUE source rows once, then gather
+    the per-lane wire words via ``pos`` (a row sent to several peers
+    shares one stochastic draw). Gathering words instead of f32 rows
+    moves ~wpr u32 per lane instead of f_pad f32 — the f32 row gather was
+    the largest pack term at the products boundary (packsplit.py)."""
+    uniq = src[w.u_rows[bi]]  # [U_b, F]; _PAD pads clamp-gather junk
     if b == 32:
-        words = lax.bitcast_convert_type(
-            _to_width(rows.astype(jnp.float32), w.fw[bi]), jnp.uint32
+        words_u = lax.bitcast_convert_type(
+            _to_width(uniq.astype(jnp.float32), w.fw[bi]), jnp.uint32
         )
-        return words, None
-    return _quant_to_words(
-        rows, b, jax.random.fold_in(key, bi), f_true, w.fw[bi]
-    )
+        pw_u = None
+    else:
+        words_u, pw_u = _quant_to_words(
+            uniq, b, jax.random.fold_in(key, bi), f_true, w.fw[bi]
+        )
+    posc = jnp.minimum(pos, words_u.shape[0] - 1)  # _PAD -> junk row
+    return words_u[posc], (None if pw_u is None else pw_u[posc])
+
+
+def _single_quant_bucket(w: WireDir, scatter_add: bool):
+    """Index of the only active quantized bucket on the dequant side, or
+    None. When exactly one b<32 bucket is active (e.g. uniform q8) and the
+    scatter is ``.set`` (fwd), unpack can scatter WORDS into the halo
+    array and dequantize contiguously — bit-identical, and it replaces
+    the [rows, f_pad] f32 scatter (the largest unpack term) with a
+    [rows, wpr] u32 one."""
+    if scatter_add:
+        return None
+    active = [bi for bi in range(len(w.bits)) if w.sgd_rows[bi].shape[0]
+              or w.d_rows[bi].shape[0]]
+    if len(active) == 1 and w.bits[active[0]] != 32 and w.has_params:
+        return active[0]
+    return None
+
+
+def _scatter_words_decode(
+    w: WireDir, bi: int, words, pw, rows_idx, out_len: int, f_true: int,
+    f_pad: int,
+):
+    """Word-level fwd unpack: scatter wire words + param words into dense
+    per-slot arrays, then dequantize the whole halo contiguously. Slots
+    never received decode to 0 (zero words, scale=1, rmin=0)."""
+    wpr = w.wpr[bi]
+    hw = jnp.zeros((out_len, wpr), jnp.uint32).at[rows_idx].set(
+        words, mode="drop")
+    hp = jnp.full((out_len,), _PARAM_ONE, jnp.uint32).at[rows_idx].set(
+        pw, mode="drop")
+    return _words_to_rows(hw, hp, w.bits[bi], f_true, w.fw[bi], f_pad)
 
 
 def _seg_pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
@@ -147,8 +189,8 @@ def _seg_pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray
     for bi, b in enumerate(w.bits):
         if w.sgq_rows[bi].shape[0] == 0:
             continue
-        rows = src[w.sgq_rows[bi]]  # [S_b, F]; _PAD lanes clamp-gather junk
-        words[bi], pwords[bi] = _bucket_words(w, rows, bi, b, key, f_true)
+        words[bi], pwords[bi] = _bucket_words(
+            w, src, bi, b, key, f_true, w.uq_pos[bi])
     sendbuf = jnp.zeros((w.sb_cap,), jnp.uint32)
     for j in range(nslots):
         for bi in range(nb):
@@ -216,6 +258,10 @@ def _seg_unpack_dir(
             rows = _to_width(rows, f_pad)
         else:
             pw = jnp.concatenate(pblocks, axis=0)
+            if _single_quant_bucket(w, scatter_add) == bi:
+                return _scatter_words_decode(
+                    w, bi, words, pw, w.sgd_rows[bi], out_len, f_true,
+                    f_pad)
             rows = _words_to_rows(words, pw, b, f_true, w.fw[bi], f_pad)
         ref = out.at[w.sgd_rows[bi]]
         out = ref.add(rows, mode="drop") if scatter_add else ref.set(rows, mode="drop")
@@ -233,16 +279,8 @@ def pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
         if cap == 0:
             continue
         wpr = w.wpr[bi]
-        rows = src[w.q_rows[bi]]  # [cap, F]; sentinel lanes clamp-gather junk
-        if b == 32:
-            words = lax.bitcast_convert_type(
-                _to_width(rows.astype(jnp.float32), w.fw[bi]), jnp.uint32
-            )
-            pword = None
-        else:
-            words, pword = _quant_to_words(
-                rows, b, jax.random.fold_in(key, bi), f_true, w.fw[bi]
-            )
+        words, pword = _bucket_words(
+            w, src, bi, b, key, f_true, w.uq_pos_row[bi])
         # segment offsets are wpr-aligned (wire.py builder); sentinel _PAD
         # offsets stay out of range after the // -> dropped
         if _row_granular():
@@ -295,6 +333,9 @@ def unpack_dir(
             rows = _to_width(rows, f_pad)
         else:
             pw = recvbuf[jnp.minimum(w.d_poff[bi], w.rb_cap - 1)]
+            if _single_quant_bucket(w, scatter_add) == bi:
+                return _scatter_words_decode(
+                    w, bi, words, pw, w.d_rows[bi], out_len, f_true, f_pad)
             rows = _words_to_rows(words, pw, b, f_true, w.fw[bi], f_pad)
         ref = out.at[w.d_rows[bi]]
         out = ref.add(rows, mode="drop") if scatter_add else ref.set(rows, mode="drop")

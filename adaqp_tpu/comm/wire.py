@@ -61,7 +61,7 @@ def _round8(x: int) -> int:
         "q_rows", "q_off", "q_poff", "in_off", "send_sz", "out_off",
         "recv_sz", "d_off", "d_poff", "d_rows",
         "sgq_rows", "sgd_rows", "sg_base", "sg_rbase", "sg_pbase",
-        "sg_rpbase",
+        "sg_rpbase", "u_rows", "uq_pos", "uq_pos_row",
     ],
     meta_fields=["bits", "wpr", "has_params", "fw", "sb_cap", "rb_cap",
                  "slice_cap", "has_seg", "sg_cap", "sg_start"],
@@ -102,6 +102,13 @@ class WireDir:
     sg_rbase: Tuple[np.ndarray, ...]  # [K, K-1] recv data word base per slot
     sg_pbase: Tuple[np.ndarray, ...]  # [K, K-1] send param word base per slot
     sg_rpbase: Tuple[np.ndarray, ...]  # [K, K-1] recv param word base per slot
+    # quantize-once tables: each bucket's UNIQUE source rows (a row sent
+    # to several peers is quantized ONCE — one shared stochastic draw —
+    # and its wire WORDS are gathered per lane, ~(f32/wpr)x less gather
+    # traffic; round 4, scripts/packsplit.py)
+    u_rows: Tuple[np.ndarray, ...]   # [K, U_b] sorted unique src rows (_PAD pad)
+    uq_pos: Tuple[np.ndarray, ...]   # [K, S_b] seg-lane -> unique position
+    uq_pos_row: Tuple[np.ndarray, ...]  # [K, cap_q_b] row-form lane -> position
     # static
     bits: Tuple[int, ...]
     wpr: Tuple[int, ...]
@@ -403,6 +410,38 @@ def _build_dir(
         sg_pbase = tuple(sg_pbase) if has_params else ()
         sg_rpbase = tuple(sg_rpbase) if has_params else ()
 
+    # ---- quantize-once (unique-row) tables ----
+    u_rows_t, uq_pos_t, uq_pos_row_t = [], [], []
+    for bi in range(nb):
+        uniq_per = []
+        for ws in range(k):
+            real = q_rows[bi][ws]
+            uniq_per.append(np.unique(real[real != _PAD]))
+        # static_shapes wires must keep shapes stable under lane->bits
+        # permutations, but UNIQUE counts are not permutation-invariant —
+        # use the (pow2) lane cap there: same quantize volume as the old
+        # per-lane path, and the word-level gather win is kept either way
+        u_cap = (caps_q[bi] if static_shapes
+                 else _round8(max((len(u) for u in uniq_per), default=0)))
+        ur = np.full((k, u_cap), _PAD, np.int32)
+        up = np.full((k, sgq_rows[bi].shape[1] if has_seg else 0), _PAD,
+                     np.int32)
+        upr = np.full((k, q_rows[bi].shape[1]), _PAD, np.int32)
+        for ws in range(k):
+            u = uniq_per[ws]
+            ur[ws, :len(u)] = u
+            for tgt, srcarr in ((up, sgq_rows[bi] if has_seg else None),
+                                (upr, q_rows[bi])):
+                if srcarr is None or tgt.shape[1] == 0:
+                    continue
+                lanes_ws = srcarr[ws]
+                valid = lanes_ws != _PAD
+                tgt[ws, valid] = np.searchsorted(
+                    u, lanes_ws[valid]).astype(np.int32)
+        u_rows_t.append(ur)
+        uq_pos_t.append(up)
+        uq_pos_row_t.append(upr)
+
     return WireDir(
         q_rows=tuple(q_rows),
         q_off=tuple(q_off),
@@ -420,6 +459,9 @@ def _build_dir(
         sg_rbase=sg_rbase,
         sg_pbase=sg_pbase,
         sg_rpbase=sg_rpbase,
+        u_rows=tuple(u_rows_t),
+        uq_pos=tuple(uq_pos_t),
+        uq_pos_row=tuple(uq_pos_row_t),
         bits=tuple(int(b) for b in bits_set),
         wpr=tuple(wpr),
         has_params=has_params,
