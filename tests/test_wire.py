@@ -460,6 +460,74 @@ def test_exchange_ragged_quant_roundtrip_and_grad(rng):
     assert ((np.abs(g_q) > 1e-12) == (np.abs(g_fp) > 1e-12)).mean() > 0.99
 
 
+def test_quantize_once_shared_draw(rng, monkeypatch):
+    # round 4 (scripts/packsplit.py): a boundary row sent to several peers
+    # is quantized ONCE — one stochastic draw — and its wire WORDS are
+    # gathered per lane.  Three consequences, all asserted here:
+    #   1. duplicate lanes of one source node arrive BIT-IDENTICAL at every
+    #      receiver (independent 4-bit draws would differ w.h.p.);
+    #   2. the capped-segment and row-granular pack forms are now
+    #      bit-identical even for quantized buckets (both gather from the
+    #      same unique-row words);
+    #   3. the word-scatter fwd decode (`_single_quant_bucket`) is
+    #      bit-identical to the generic gathered-rows decode.
+    from adaqp_tpu.assigner import uniform_assignment
+    from adaqp_tpu.comm import exchange_ragged as xr
+
+    g, lay, _, _, _ = _layout_and_plans()
+    plan = lay.plan_fwd
+    f = lay.num_feats
+    asg = uniform_assignment(plan, 1, 4)  # coarse steps: draws visible
+    wfwd = wire_from_assignment(plan, asg, [lay.f_true])[0][0]
+    mesh = make_mesh(K)
+    h = jnp.asarray(lay.feats)
+    sink = jnp.zeros((K, plan.r_pad))
+    wdev = jax.tree.map(jnp.asarray, wfwd)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+
+    def run():
+        def body(h, sk, wf):
+            rem = exchange_ragged(
+                h[0], keys, sk[0], wf.local(), None, plan.r_pad, f, "part",
+                lay.f_true,
+            )
+            return rem[None]
+
+        return np.asarray(shard_map(
+            body, mesh=mesh, in_specs=(P("part"),) * 3, out_specs=P("part")
+        )(h, sink, wdev))
+
+    rem = run()
+    # (1) collect every (receiver, slot) of each (sender, node) lane group
+    per_node = {}
+    for r in range(K):
+        rg = plan.remote_global[r]
+        for s in range(K):
+            for i in range(int(plan.counts[s, r])):
+                slot = int(plan.recv_slot[r, s, i])
+                per_node.setdefault((s, int(rg[slot])), []).append((r, slot))
+    n_dup = 0
+    for (_s, _node), sites in per_node.items():
+        if len(sites) < 2:
+            continue
+        n_dup += 1
+        r0, s0 = sites[0]
+        for r1, s1 in sites[1:]:
+            np.testing.assert_array_equal(
+                rem[r0, s0], rem[r1, s1], err_msg=str((_s, _node)))
+    assert n_dup > 5  # the SBM boundary actually has replicated rows
+    # (2) seg form == row-granular form, bitwise, quantized bucket included
+    monkeypatch.setattr(xr, "_FORCE_SEG", False)
+    monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", True)
+    np.testing.assert_array_equal(run(), rem)
+    monkeypatch.setattr(xr, "_FORCE_SEG", None)
+    monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", None)
+    # (3) generic decode == word-scatter decode (uniform q4 fwd triggers it)
+    assert xr._single_quant_bucket(wfwd.local(), False) is not None
+    monkeypatch.setattr(xr, "_single_quant_bucket", lambda w, sa: None)
+    np.testing.assert_array_equal(run(), rem)
+
+
 def test_wire_cols_alignment():
     # per-bucket word alignment: 32/bits columns per word
     assert wire_cols(602, 2) == 608
