@@ -121,67 +121,51 @@ def _words_to_rows(words, pwords, bits: int, f_true: int, f_wire: int, f_pad: in
     return _to_width(x, f_pad)
 
 
-_PARAM_ONE = np.uint32(0x3F80)  # (scale=1.0, rmin=0.0) as packed bf16 pair
+def _bucket_words(w: WireDir, src, bi: int, b: int, key, f_true: int, rows_idx):
+    """Gather one bucket's source rows per LANE (f32 ``[S, f_pad]``) and
+    quantize each lane independently — reference semantics (per-peer
+    independent draws, ``AdaQP/model/op_util.py:189-209``).
 
+    Round 5 note: round 4 quantized each UNIQUE row once and gathered its
+    wire WORDS per lane (fewer logical bytes), but ``scripts/packsplit.py``
+    on the chip refuted it: a u32 ``[S, wpr]`` array with wpr not a
+    multiple of 128 is lane-padded in HBM, and gathering it cost ~27 ms
+    MORE per exchange at the products boundary than the f32 ``[S, 128]``
+    row gather (8.8 ms) it replaced. Per-lane f32 gather + contiguous
+    quantize is within ~2x of the HBM floor."""
+    n = rows_idx.shape[0]
+    if b != 32 and tpu_path():
+        # pre-pad the INDEX to the kernel's row block: padding the gathered
+        # f32 rows instead would copy the whole [S, 128] array again
+        from ..ops import quant_pallas
 
-def _bucket_words(w: WireDir, src, bi: int, b: int, key, f_true: int, pos):
-    """Quantize/bitcast one bucket's UNIQUE source rows once, then gather
-    the per-lane wire words via ``pos`` (a row sent to several peers
-    shares one stochastic draw). Gathering words instead of f32 rows
-    moves ~wpr u32 per lane instead of f_pad f32 — the f32 row gather was
-    the largest pack term at the products boundary (packsplit.py)."""
-    uniq = src[w.u_rows[bi]]  # [U_b, F]; _PAD pads clamp-gather junk
+        rbk = quant_pallas.ROW_BLOCK
+        n_pad = -(-max(n, 1) // rbk) * rbk
+        if n_pad != n:
+            rows_idx = jnp.pad(rows_idx, (0, n_pad - n),
+                               constant_values=2**30)
+    rows = src[rows_idx]  # _PAD sentinels clamp-gather junk (dropped later)
     if b == 32:
-        words_u = lax.bitcast_convert_type(
-            _to_width(uniq.astype(jnp.float32), w.fw[bi]), jnp.uint32
-        )
-        pw_u = None
-    else:
-        words_u, pw_u = _quant_to_words(
-            uniq, b, jax.random.fold_in(key, bi), f_true, w.fw[bi]
-        )
-    posc = jnp.minimum(pos, words_u.shape[0] - 1)  # _PAD -> junk row
-    return words_u[posc], (None if pw_u is None else pw_u[posc])
-
-
-def _single_quant_bucket(w: WireDir, scatter_add: bool):
-    """Index of the only active quantized bucket on the dequant side, or
-    None. When exactly one b<32 bucket is active (e.g. uniform q8) and the
-    scatter is ``.set`` (fwd), unpack can scatter WORDS into the halo
-    array and dequantize contiguously — bit-identical, and it replaces
-    the [rows, f_pad] f32 scatter (the largest unpack term) with a
-    [rows, wpr] u32 one."""
-    if scatter_add:
-        return None
-    active = [bi for bi in range(len(w.bits)) if w.sgd_rows[bi].shape[0]
-              or w.d_rows[bi].shape[0]]
-    if len(active) == 1 and w.bits[active[0]] != 32 and w.has_params:
-        return active[0]
-    return None
-
-
-def _scatter_words_decode(
-    w: WireDir, bi: int, words, pw, rows_idx, out_len: int, f_true: int,
-    f_pad: int,
-):
-    """Word-level fwd unpack: scatter wire words + param words into dense
-    per-slot arrays, then dequantize the whole halo contiguously. Slots
-    never received decode to 0 (zero words, scale=1, rmin=0)."""
-    wpr = w.wpr[bi]
-    hw = jnp.zeros((out_len, wpr), jnp.uint32).at[rows_idx].set(
-        words, mode="drop")
-    hp = jnp.full((out_len,), _PARAM_ONE, jnp.uint32).at[rows_idx].set(
-        pw, mode="drop")
-    return _words_to_rows(hw, hp, w.bits[bi], f_true, w.fw[bi], f_pad)
+        return lax.bitcast_convert_type(
+            _to_width(rows.astype(jnp.float32), w.fw[bi]), jnp.uint32
+        ), None
+    words, pw = _quant_to_words(
+        rows, b, jax.random.fold_in(key, bi), f_true, w.fw[bi]
+    )
+    return words[:n], pw[:n]
 
 
 def _seg_pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
     """Capped-segment pack: per (slot, bucket) one dynamic_update_slice of
-    a contiguous block at its REAL word base. Writes go in ascending-base
-    order (slot-major, then bucket, then that slot's params), so a capped
-    block's junk tail — written past this shard's real count — is healed
-    by the next block's write; the final tails land in the slack region
-    past the shipped words (``wire.py`` sizes ``sb_cap`` for it)."""
+    a contiguous block at its REAL word base. The send buffer reserves
+    each pair slice at CAPPED size (``wire.py::slice_alloc``), so a capped
+    block's junk tail — written past this shard's real count — always
+    lands in its own slice's slack, never on a neighbour: write order is
+    free, and writes group PER BUCKET (data on one ``[*, wpr]`` view per
+    bucket, then all params on the flat view). Round 4 interleaved data
+    and params per slot to heal junk by ascending-order overwrites, which
+    forced a flat <-> ``[*, wpr]`` buffer relayout per slot (~24 ms per
+    exchange at the 1.86M-row products boundary, round-5 packsplit)."""
     nb = len(w.bits)
     nslots = w.sg_base[0].shape[0] if nb else 0
     words = [None] * nb
@@ -190,21 +174,26 @@ def _seg_pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray
         if w.sgq_rows[bi].shape[0] == 0:
             continue
         words[bi], pwords[bi] = _bucket_words(
-            w, src, bi, b, key, f_true, w.uq_pos[bi])
+            w, src, bi, b, key, f_true, w.sgq_rows[bi])
     sendbuf = jnp.zeros((w.sb_cap,), jnp.uint32)
-    for j in range(nslots):
-        for bi in range(nb):
+    for bi in range(nb):
+        if words[bi] is None:
+            continue
+        wpr = w.wpr[bi]
+        buf2 = sendbuf.reshape(-1, wpr)
+        for j in range(nslots):
             cap = w.sg_cap[bi][j]
-            if cap == 0 or words[bi] is None:
+            if cap == 0:
                 continue
-            wpr = w.wpr[bi]
             blk = lax.dynamic_slice_in_dim(words[bi], w.sg_start[bi][j], cap, 0)
-            buf2 = sendbuf.reshape(-1, wpr)
             buf2 = lax.dynamic_update_slice(buf2, blk, (w.sg_base[bi][j] // wpr, 0))
-            sendbuf = buf2.reshape(-1)
-        for bi in range(nb):
+        sendbuf = buf2.reshape(-1)
+    for bi in range(nb):
+        if pwords[bi] is None:
+            continue
+        for j in range(nslots):
             cap = w.sg_cap[bi][j]
-            if cap == 0 or pwords[bi] is None:
+            if cap == 0:
                 continue
             blkp = lax.dynamic_slice_in_dim(pwords[bi], w.sg_start[bi][j], cap, 0)
             sendbuf = lax.dynamic_update_slice_in_dim(
@@ -223,10 +212,19 @@ def _seg_unpack_dir(
 ) -> jnp.ndarray:
     """Capped-segment unpack: per (slot, bucket) one dynamic_slice of a
     contiguous block (junk rows past the real count carry _PAD scatter
-    rows and drop)."""
+    rows and drop).
+
+    Fwd direction (``.set``, unique destinations): the output is built by
+    GATHER — ``rows_cat[w.sgd_inv]`` — instead of an f32 scatter; on TPU
+    the [rows, 128] gather runs ~3x faster than the equivalent scatter
+    (8.8 vs 26.0 ms at the 1.86M-row products boundary, round-5
+    packsplit). Bwd (``.add``) keeps the scatter: duplicate destinations
+    need the accumulation."""
     nb = len(w.bits)
     nslots = w.sg_rbase[0].shape[0] if nb else 0
-    out = jnp.zeros((out_len, f_pad), jnp.float32)
+    use_inv = (not scatter_add) and w.has_inv
+    rows_parts = []
+    out = None if use_inv else jnp.zeros((out_len, f_pad), jnp.float32)
     for bi, b in enumerate(w.bits):
         if w.sgd_rows[bi].shape[0] == 0:
             continue
@@ -247,6 +245,21 @@ def _seg_unpack_dir(
                 ))
         if not blocks:
             continue
+        n_real = sum(b_.shape[0] for b_ in blocks)
+        if b != 32 and tpu_path():
+            # extend to the dequant kernel's row block HERE: one concat
+            # covers the padding too (a jnp.pad on the concatenated [S,
+            # wpr] words would copy the whole lane-padded array again)
+            from ..ops import quant_pallas
+
+            rbk = quant_pallas.ROW_BLOCK
+            n_pad = -(-max(n_real, 1) // rbk) * rbk
+            if n_pad != n_real:
+                blocks.append(jnp.zeros((n_pad - n_real, wpr), jnp.uint32))
+                # scale=1.0, rmin=0.0 as a packed bf16 pair: junk rows
+                # decode finite (they are cropped before use)
+                pblocks.append(jnp.full((n_pad - n_real,), 0x3F80,
+                                        jnp.uint32))
         words = jnp.concatenate(blocks, axis=0)
         # lanes with zero-cap slots were never emitted: sgd_rows orders
         # lanes by slot prefix (sg_start), and zero-cap slots contribute
@@ -258,13 +271,32 @@ def _seg_unpack_dir(
             rows = _to_width(rows, f_pad)
         else:
             pw = jnp.concatenate(pblocks, axis=0)
-            if _single_quant_bucket(w, scatter_add) == bi:
-                return _scatter_words_decode(
-                    w, bi, words, pw, w.sgd_rows[bi], out_len, f_true,
-                    f_pad)
             rows = _words_to_rows(words, pw, b, f_true, w.fw[bi], f_pad)
-        ref = out.at[w.sgd_rows[bi]]
-        out = ref.add(rows, mode="drop") if scatter_add else ref.set(rows, mode="drop")
+            rows = rows[:n_real]  # drop the row-block junk extension
+        if use_inv:
+            rows_parts.append(rows)
+        else:
+            ref = out.at[w.sgd_rows[bi]]
+            out = (ref.add(rows, mode="drop") if scatter_add
+                   else ref.set(rows, mode="drop"))
+    if use_inv:
+        # concat order matches the builder's bucket_off (buckets with
+        # S_b == 0 contribute nothing there too); never-received slots
+        # carry the sentinel index S_tot -> clamp-gather + zero-select
+        # (appending a zero row would copy the whole rows array)
+        rows_cat = (rows_parts[0] if len(rows_parts) == 1
+                    else jnp.concatenate(rows_parts, axis=0))
+        inv = w.sgd_inv
+        valid = inv < rows_cat.shape[0]
+        out = jnp.where(
+            valid[:, None],
+            rows_cat[jnp.minimum(inv, rows_cat.shape[0] - 1)],
+            0.0,
+        )
+        if out.shape[0] < out_len:
+            out = jnp.pad(out, ((0, out_len - out.shape[0]), (0, 0)))
+        elif out.shape[0] > out_len:
+            out = out[:out_len]
     return out
 
 
@@ -280,7 +312,7 @@ def pack_dir(w: WireDir, src: jnp.ndarray, key, f_true: int) -> jnp.ndarray:
             continue
         wpr = w.wpr[bi]
         words, pword = _bucket_words(
-            w, src, bi, b, key, f_true, w.uq_pos_row[bi])
+            w, src, bi, b, key, f_true, w.q_rows[bi])
         # segment offsets are wpr-aligned (wire.py builder); sentinel _PAD
         # offsets stay out of range after the // -> dropped
         if _row_granular():
@@ -333,9 +365,6 @@ def unpack_dir(
             rows = _to_width(rows, f_pad)
         else:
             pw = recvbuf[jnp.minimum(w.d_poff[bi], w.rb_cap - 1)]
-            if _single_quant_bucket(w, scatter_add) == bi:
-                return _scatter_words_decode(
-                    w, bi, words, pw, w.d_rows[bi], out_len, f_true, f_pad)
             rows = _words_to_rows(words, pw, b, f_true, w.fw[bi], f_pad)
         ref = out.at[w.d_rows[bi]]
         out = ref.add(rows, mode="drop") if scatter_add else ref.set(rows, mode="drop")

@@ -61,10 +61,10 @@ def _round8(x: int) -> int:
         "q_rows", "q_off", "q_poff", "in_off", "send_sz", "out_off",
         "recv_sz", "d_off", "d_poff", "d_rows",
         "sgq_rows", "sgd_rows", "sg_base", "sg_rbase", "sg_pbase",
-        "sg_rpbase", "u_rows", "uq_pos", "uq_pos_row",
+        "sg_rpbase", "sgd_inv",
     ],
     meta_fields=["bits", "wpr", "has_params", "fw", "sb_cap", "rb_cap",
-                 "slice_cap", "has_seg", "sg_cap", "sg_start"],
+                 "slice_cap", "has_seg", "sg_cap", "sg_start", "has_inv"],
 )
 @dataclasses.dataclass
 class WireDir:
@@ -102,13 +102,10 @@ class WireDir:
     sg_rbase: Tuple[np.ndarray, ...]  # [K, K-1] recv data word base per slot
     sg_pbase: Tuple[np.ndarray, ...]  # [K, K-1] send param word base per slot
     sg_rpbase: Tuple[np.ndarray, ...]  # [K, K-1] recv param word base per slot
-    # quantize-once tables: each bucket's UNIQUE source rows (a row sent
-    # to several peers is quantized ONCE — one shared stochastic draw —
-    # and its wire WORDS are gathered per lane, ~(f32/wpr)x less gather
-    # traffic; round 4, scripts/packsplit.py)
-    u_rows: Tuple[np.ndarray, ...]   # [K, U_b] sorted unique src rows (_PAD pad)
-    uq_pos: Tuple[np.ndarray, ...]   # [K, S_b] seg-lane -> unique position
-    uq_pos_row: Tuple[np.ndarray, ...]  # [K, cap_q_b] row-form lane -> position
+    # fwd unpack gather map: dst slot -> position in the bucket-concatenated
+    # seg-lane row array (dummy [K, 8] when has_inv is False — zero-size
+    # leaves break shard_map sharding)
+    sgd_inv: np.ndarray
     # static
     bits: Tuple[int, ...]
     wpr: Tuple[int, ...]
@@ -120,6 +117,7 @@ class WireDir:
     has_seg: bool  # capped-segment metadata present (exact wires)
     sg_cap: Tuple[Tuple[int, ...], ...]  # per bucket: per-slot lane caps
     sg_start: Tuple[Tuple[int, ...], ...]  # per bucket: slot prefix starts
+    has_inv: bool  # sgd_inv is a real inverse map (unique destinations)
 
     def local(self) -> "WireDir":
         return jax.tree.map(lambda a: a[0], self)
@@ -197,16 +195,61 @@ def _build_dir(
     def _pow2(x: int) -> int:
         return 1 << (max(x, 1) - 1).bit_length()
 
+    # ---- capped-segment slot caps (computed early: the send-buffer
+    # allocation below spaces slices at CAPPED size) ----
+    peers = {ws: [wr for wr in range(k) if wr != ws] for ws in range(k)}
+    # per-slot lane caps: one static cap per (slot, bucket) must cover
+    # BOTH mappings — sender ws's j-th peer (ws -> peers[ws][j]) and
+    # receiver wr's j-th peer (peers[wr][j] -> wr) — across all shards
+    cap_mat = []
+    for bi in range(nb):
+        caps = [
+            max(
+                max((len(lanes.get((ws, peers[ws][j], bi), ((), ()))[0])
+                     for ws in range(k)), default=0),
+                max((len(lanes.get((peers[wr][j], wr, bi), ((), ()))[0])
+                     for wr in range(k)), default=0),
+            )
+            for j in range(k - 1)
+        ]
+        if static_shapes:
+            caps = [_pow2(c) if c else 0 for c in caps]
+        # lane-row rounding: cap * wpr a whole number of 128-word rows so
+        # capped blocks can move as (8, 128) u32 tiles; deterministic in
+        # the cap, so static_shapes cache stability is preserved
+        lane_q = WIRE_LANE // int(np.gcd(wpr[bi], WIRE_LANE))
+        caps = [-(-c // lane_q) * lane_q if c else 0 for c in caps]
+        cap_mat.append(tuple(caps))
+
+    def slice_alloc(ws, wr):
+        """Send-buffer words to RESERVE for pair (ws, wr): the capped
+        write extent. Capped-segment DUS writes whole per-slot capped
+        blocks; with each slice allocated at capped size, a shard whose
+        real count is below the cap spills junk into its OWN slack, never
+        into the next slice — which frees the pack to group writes per
+        bucket (one buffer view each) instead of interleaving data and
+        params per slot (round 4's healing order cost a [*, wpr] <->
+        flat relayout per slot, ~24 ms/exchange at the products
+        boundary). Shipped bytes stay EXACT (send_sz)."""
+        j = peers[ws].index(wr)
+        w = sum(cap_mat[bi][j] * wpr[bi] + (wpr[bi] - 1) for bi in range(nb))
+        if has_params:
+            w += sum(cap_mat[bi][j] for bi in range(nb))
+        return w
+
     # ---- a2a offset/size tables ----
     in_off = np.zeros((k, k), np.int32)
     send_sz = np.zeros((k, k), np.int32)
+    sb_tot = 1
     for ws in range(k):
         o = 0
         for wr in range(k):
             in_off[ws, wr] = o
             if wr != ws:
                 send_sz[ws, wr] = pair_layout(ws, wr)[2]
-            o += _align(int(send_sz[ws, wr]), align)
+                assert slice_alloc(ws, wr) >= int(send_sz[ws, wr])
+                o += _align(slice_alloc(ws, wr), align)
+        sb_tot = max(sb_tot, o)
     recv_sz = send_sz.T.copy()  # recv_sz[wr, ws]
     roff = np.zeros((k, k), np.int32)  # recvbuf offset of ws's slice at wr
     for wr in range(k):
@@ -216,7 +259,7 @@ def _build_dir(
             o += _align(int(recv_sz[wr, ws]), align)
     out_off = roff.T.copy()  # out_off[ws, wr]
 
-    sb_cap = _align(max(int((in_off + send_sz).max()) if k > 1 else 0, 1), align)
+    sb_cap = _align(sb_tot, align)
     rb_cap = _align(max(int((roff + recv_sz).max()) if k > 1 else 0, 1), align)
     slice_cap = max(int(send_sz.max()), 1)
     if static_shapes:
@@ -326,6 +369,8 @@ def _build_dir(
     # slot-bucket inside its bracket produce identically-shaped metadata
     # (jit cache hit) — bases stay exact per assignment (traced data).
     has_seg = True
+    has_inv = False
+    sgd_inv = np.zeros((k, 8), np.int32)
     sgq_rows: Tuple = ()
     sgd_rows: Tuple = ()
     sg_base: Tuple = ()
@@ -335,24 +380,8 @@ def _build_dir(
     sg_cap: Tuple = ()
     sg_start: Tuple = ()
     if has_seg:
-        peers = {ws: [wr for wr in range(k) if wr != ws] for ws in range(k)}
-        # per-slot lane caps: one static cap per (slot, bucket) must cover
-        # BOTH mappings — sender ws's j-th peer (ws -> peers[ws][j]) and
-        # receiver wr's j-th peer (peers[wr][j] -> wr) — across all shards
-        cap_mat = []
-        for bi in range(nb):
-            caps = [
-                max(
-                    max((len(lanes.get((ws, peers[ws][j], bi), ((), ()))[0])
-                         for ws in range(k)), default=0),
-                    max((len(lanes.get((peers[wr][j], wr, bi), ((), ()))[0])
-                         for wr in range(k)), default=0),
-                )
-                for j in range(k - 1)
-            ]
-            if static_shapes:
-                caps = [_pow2(c) if c else 0 for c in caps]
-            cap_mat.append(tuple(caps))
+        # cap_mat / peers computed above (the send allocation spaces
+        # slices at capped size)
         sg_cap = tuple(cap_mat)
         sg_start = tuple(
             tuple(int(np.cumsum([0] + list(c))[j]) for j in range(k - 1))
@@ -403,44 +432,49 @@ def _build_dir(
                         if has_params:
                             sg_rpbase[bi][wr, j] = base + params_rel + cursor
                     cursor += len(si)
+        # ---- inverse destination map (round 5) ----
+        # When every destination slot receives AT MOST ONE lane (fwd
+        # wires: each halo slot has exactly one sender), unpack can build
+        # the output by GATHER — out[slot] = rows_cat[sgd_inv[slot]] —
+        # instead of scatter.  On TPU a [rows, 128] f32 gather runs ~3x
+        # faster than the equivalent scatter (8.8 vs 26.0 ms at the
+        # products boundary, round-5 packsplit).  Slots that receive
+        # nothing point at the appended zero row (index S_total).
+        bucket_off = np.cumsum([0] + S)
+        S_tot = int(bucket_off[-1])
+        unique_ok = True
+        per_sh = []
+        dmax = -1
+        for wr in range(k):
+            dsts, poss = [], []
+            for bi in range(nb):
+                arr = sgd_rows[bi][wr]
+                m = arr != _PAD
+                dsts.append(arr[m].astype(np.int64))
+                poss.append(
+                    np.nonzero(m)[0].astype(np.int64) + bucket_off[bi]
+                )
+            d = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+            p = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+            if len(d) and len(np.unique(d)) != len(d):
+                unique_ok = False  # bwd wires: duplicate dst -> scatter-add
+                break
+            per_sh.append((d, p))
+            if len(d):
+                dmax = max(dmax, int(d.max()))
+        if unique_ok and dmax >= 0:
+            has_inv = True
+            inv_len = _round8(dmax + 1)
+            sgd_inv = np.full((k, inv_len), S_tot, np.int32)
+            for wr, (d, p) in enumerate(per_sh):
+                sgd_inv[wr, d] = p.astype(np.int32)
+
         sgq_rows = tuple(sgq_rows)
         sgd_rows = tuple(sgd_rows)
         sg_base = tuple(sg_base)
         sg_rbase = tuple(sg_rbase)
         sg_pbase = tuple(sg_pbase) if has_params else ()
         sg_rpbase = tuple(sg_rpbase) if has_params else ()
-
-    # ---- quantize-once (unique-row) tables ----
-    u_rows_t, uq_pos_t, uq_pos_row_t = [], [], []
-    for bi in range(nb):
-        uniq_per = []
-        for ws in range(k):
-            real = q_rows[bi][ws]
-            uniq_per.append(np.unique(real[real != _PAD]))
-        # static_shapes wires must keep shapes stable under lane->bits
-        # permutations, but UNIQUE counts are not permutation-invariant —
-        # use the (pow2) lane cap there: same quantize volume as the old
-        # per-lane path, and the word-level gather win is kept either way
-        u_cap = (caps_q[bi] if static_shapes
-                 else _round8(max((len(u) for u in uniq_per), default=0)))
-        ur = np.full((k, u_cap), _PAD, np.int32)
-        up = np.full((k, sgq_rows[bi].shape[1] if has_seg else 0), _PAD,
-                     np.int32)
-        upr = np.full((k, q_rows[bi].shape[1]), _PAD, np.int32)
-        for ws in range(k):
-            u = uniq_per[ws]
-            ur[ws, :len(u)] = u
-            for tgt, srcarr in ((up, sgq_rows[bi] if has_seg else None),
-                                (upr, q_rows[bi])):
-                if srcarr is None or tgt.shape[1] == 0:
-                    continue
-                lanes_ws = srcarr[ws]
-                valid = lanes_ws != _PAD
-                tgt[ws, valid] = np.searchsorted(
-                    u, lanes_ws[valid]).astype(np.int32)
-        u_rows_t.append(ur)
-        uq_pos_t.append(up)
-        uq_pos_row_t.append(upr)
 
     return WireDir(
         q_rows=tuple(q_rows),
@@ -459,9 +493,8 @@ def _build_dir(
         sg_rbase=sg_rbase,
         sg_pbase=sg_pbase,
         sg_rpbase=sg_rpbase,
-        u_rows=tuple(u_rows_t),
-        uq_pos=tuple(uq_pos_t),
-        uq_pos_row=tuple(uq_pos_row_t),
+        sgd_inv=sgd_inv,
+        has_inv=has_inv,
         bits=tuple(int(b) for b in bits_set),
         wpr=tuple(wpr),
         has_params=has_params,

@@ -50,7 +50,8 @@ SCALE = {
 }
 
 
-def run(mode, scheme="uniform", bits=8, seed=0, scale=False):
+def run(mode, scheme="uniform", bits=8, seed=0, scale=False,
+        fp32_lanes=False, dump_traces=None):
     over = {
         "num_parts": 4, "num_epochs": EPOCHS, "hidden_dim": 64,
         "mode": mode, "assign_scheme": scheme, "assign_bits": bits,
@@ -62,9 +63,25 @@ def run(mode, scheme="uniform", bits=8, seed=0, scale=False):
     if scale:
         over.update({k: v for k, v in SCALE.items() if k != "dataset"})
         dataset = SCALE["dataset"]
+    if fp32_lanes:
+        over["fp32_lanes"] = True
     cfg = RunConfig.from_yaml(dataset, over)
     t = Trainer(cfg)
     rec = t.train()
+    if dump_traces:
+        # export the REAL per-lane fwd/bwd variance traces this adaptive
+        # run accumulated since its last reassignment — the mixed-fabric
+        # capstone resamples these instead of rng.uniform noise
+        # (round-4 VERDICT weak #4)
+        import numpy as np
+
+        tf = np.transpose(np.asarray(t.trace_fwd), (1, 0, 2, 3))  # [L,K,K,S]
+        tb = np.transpose(np.asarray(t.trace_bwd), (1, 0, 2))  # [L,K,R]
+        counts = np.asarray(t.layout.plan_fwd.counts)
+        np.savez_compressed(dump_traces, tf=tf, tb=tb, counts=counts,
+                            num_remote=np.asarray(
+                                t.layout.plan_fwd.num_remote))
+        print(f"[traces -> {dump_traces}] tf{tf.shape} tb{tb.shape}")
     _, tr, va, te = rec["best"]
     return te
 
@@ -90,10 +107,15 @@ def main():
         ("AdaQP-q uniform 4-bit", "AdaQP-q", "uniform", 4),
         ("AdaQP-q uniform 2-bit", "AdaQP-q", "uniform", 2),
         ("AdaQP adaptive", "AdaQP", "adaptive", 8),
+        ("AdaQP adaptive+fp32lanes", "AdaQP", "adaptive", 8),
         ("AdaQP random", "AdaQP", "random", 8),
         ("AdaQP-p (overlap only)", "AdaQP-p", "uniform", 8),
     ):
-        te = run(mode, scheme, bits, scale=scale)
+        lanes = name.endswith("fp32lanes")
+        dump = (os.environ.get("ADAQP_DUMP_TRACES")
+                if name == "AdaQP adaptive" else None)
+        te = run(mode, scheme, bits, scale=scale, fp32_lanes=lanes,
+                 dump_traces=dump)
         rows.append((name, te, te - base))
     print(f"\n{'config':28s} {'test acc':>9s} {'delta':>8s}")
     for name, te, d in rows:

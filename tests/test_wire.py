@@ -103,11 +103,21 @@ def test_wire_layout_invariants():
                         assert not used[poffs].any()
                         used[poffs] = True
                         n_words += int(valid.sum())
-                # alignment gaps are bounded: < one row per (pair, bucket)
-                # intra-slice, < align words between slices (not shipped)
-                max_gap = (k - 1) * (sum(p - 1 for p in w.wpr) + align - 1)
+                # slices are spaced at CAPPED allocation (round 5: junk
+                # from capped DUS writes stays in the owning slice) — the
+                # total footprint is bounded by the sg_cap-derived
+                # allocation, and the unshipped gap inside each slice is
+                # alloc - exact size
+                nb = len(w.wpr)
+                alloc_total = 0
+                for j in range(k - 1):
+                    a = sum(w.sg_cap[bi][j] * w.wpr[bi] + (w.wpr[bi] - 1)
+                            for bi in range(nb))
+                    if w.has_params:
+                        a += sum(w.sg_cap[bi][j] for bi in range(nb))
+                    alloc_total += -(-a // align) * align
                 assert used.sum() == n_words
-                assert total - n_words <= max_gap, (total, n_words, max_gap)
+                assert total <= alloc_total, (total, alloc_total)
 
 
 def test_byte_accounting_skewed_partition():
@@ -460,17 +470,14 @@ def test_exchange_ragged_quant_roundtrip_and_grad(rng):
     assert ((np.abs(g_q) > 1e-12) == (np.abs(g_fp) > 1e-12)).mean() > 0.99
 
 
-def test_quantize_once_shared_draw(rng, monkeypatch):
-    # round 4 (scripts/packsplit.py): a boundary row sent to several peers
-    # is quantized ONCE — one stochastic draw — and its wire WORDS are
-    # gathered per lane.  Three consequences, all asserted here:
-    #   1. duplicate lanes of one source node arrive BIT-IDENTICAL at every
-    #      receiver (independent 4-bit draws would differ w.h.p.);
-    #   2. the capped-segment and row-granular pack forms are now
-    #      bit-identical even for quantized buckets (both gather from the
-    #      same unique-row words);
-    #   3. the word-scatter fwd decode (`_single_quant_bucket`) is
-    #      bit-identical to the generic gathered-rows decode.
+def test_per_peer_independent_draws(rng, monkeypatch):
+    # Reference semantics (AdaQP/model/op_util.py:189-209): a boundary row
+    # sent to several peers is quantized INDEPENDENTLY per peer — each lane
+    # draws its own stochastic rounding.  (Round 4 briefly shared one draw
+    # per unique row to gather wire WORDS instead of f32 rows; round-5
+    # on-chip packsplit refuted that layout — lane-padded u32 [S, wpr]
+    # gathers are ~3x slower than the f32 [S, 128] row gather — so the
+    # per-lane path is both the fast one and the reference-faithful one.)
     from adaqp_tpu.assigner import uniform_assignment
     from adaqp_tpu.comm import exchange_ragged as xr
 
@@ -498,7 +505,7 @@ def test_quantize_once_shared_draw(rng, monkeypatch):
         )(h, sink, wdev))
 
     rem = run()
-    # (1) collect every (receiver, slot) of each (sender, node) lane group
+    # collect every (receiver, slot) of each (sender, node) lane group
     per_node = {}
     for r in range(K):
         rg = plan.remote_global[r]
@@ -506,26 +513,54 @@ def test_quantize_once_shared_draw(rng, monkeypatch):
             for i in range(int(plan.counts[s, r])):
                 slot = int(plan.recv_slot[r, s, i])
                 per_node.setdefault((s, int(rg[slot])), []).append((r, slot))
-    n_dup = 0
+    feats = np.asarray(lay.feats)  # [K, l_max, f]
+    send_idx = np.asarray(plan.send_idx)
+    # (1) every received row is ON THE SENDER'S 4-bit GRID: within one
+    # quantization step of the true row, grid-aligned given (rmin, scale)
+    n_checked = 0
+    for r in range(K):
+        rg = plan.remote_global[r]
+        for s in range(K):
+            for i in range(min(int(plan.counts[s, r]), 8)):
+                slot = int(plan.recv_slot[r, s, i])
+                x = feats[s, int(send_idx[s, r, i])][: lay.f_true]
+                got = rem[r, slot][: lay.f_true]
+                rmin, rmax = x.min(), x.max()
+                step = max(rmax - rmin, 1e-10) / 15.0
+                # wire params (scale, rmin) travel as bfloat16: allow ~1%
+                # slop on the one-step quantization bound
+                amax = max(abs(rmin), abs(rmax))
+                np.testing.assert_array_less(
+                    np.abs(got - x), 1.02 * step + 0.01 * amax + 1e-6)
+                n_checked += 1
+    assert n_checked > 20
+    # (2) duplicate lanes of one node DIFFER somewhere w.h.p. — draws are
+    # independent per lane (16 levels, f features: collision of the whole
+    # row across two independent draws is overwhelmingly unlikely)
+    n_dup = n_diff = 0
     for (_s, _node), sites in per_node.items():
         if len(sites) < 2:
             continue
         n_dup += 1
         r0, s0 = sites[0]
-        for r1, s1 in sites[1:]:
-            np.testing.assert_array_equal(
-                rem[r0, s0], rem[r1, s1], err_msg=str((_s, _node)))
+        if any(not np.array_equal(rem[r0, s0], rem[r1, s1])
+               for r1, s1 in sites[1:]):
+            n_diff += 1
     assert n_dup > 5  # the SBM boundary actually has replicated rows
-    # (2) seg form == row-granular form, bitwise, quantized bucket included
+    assert n_diff >= 0.5 * n_dup, (n_diff, n_dup)
+    # (3) the row-granular form quantizes the same lanes to the same grid
+    # (draws may differ — lane order differs — but the zero-mask and grid
+    # structure must agree)
     monkeypatch.setattr(xr, "_FORCE_SEG", False)
     monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", True)
-    np.testing.assert_array_equal(run(), rem)
+    rem_row = run()
     monkeypatch.setattr(xr, "_FORCE_SEG", None)
     monkeypatch.setattr(xr, "_FORCE_ROW_GRANULAR", None)
-    # (3) generic decode == word-scatter decode (uniform q4 fwd triggers it)
-    assert xr._single_quant_bucket(wfwd.local(), False) is not None
-    monkeypatch.setattr(xr, "_single_quant_bucket", lambda w, sa: None)
-    np.testing.assert_array_equal(run(), rem)
+    assert rem_row.shape == rem.shape
+    np.testing.assert_array_equal(
+        np.abs(rem_row) > 1e-12, np.abs(rem) > 1e-12)
+    np.testing.assert_array_less(np.abs(rem_row - rem).max(axis=-1).ravel(),
+                                 np.inf)  # finite everywhere
 
 
 def test_wire_cols_alignment():
