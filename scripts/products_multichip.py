@@ -47,7 +47,7 @@ enable_compilation_cache()
 N, E_TARGET, F, C = 2_449_029, 123_718_280, 100, 47
 HIDDEN, LAYERS, K = 256, 3, 8
 CACHE = "data/bench_cache"
-ARTIFACT = "PRODUCTS8_r04.json"
+ARTIFACT = "PRODUCTS8_r05.json"
 HBM = {"v5e:2x4": 16 * 2**30, "v5p:2x2x2": 95 * 2**30}
 # measured one-chip full-graph epoch, strip impl, hidden 256 (EXPERIMENTS
 # round 3, scripts/bench_products.py on the corrected 123.7M-edge graph)
@@ -181,10 +181,18 @@ def phase_aot(topos=("v5e:2x4", "v5p:2x2x2")):
     for topo in topos:
         t0 = time.perf_counter()
         try:
-            rep = aot_compile_train_step(trainer, topo)
+            rep = aot_compile_train_step(trainer, topo, want_text=True)
             total = rep.get("arg_bytes", 0) + rep.get("temp_bytes", 0)
             rep["hbm_bytes"] = HBM.get(topo)
             rep["fits_hbm"] = bool(total <= HBM.get(topo, 0))
+            text = rep.pop("_text", "")
+            if text:
+                # keep the scheduled entry around for overlap forensics
+                # (round-4 weak #3: v5p windows carried no local SpMM)
+                path = f"{CACHE}/aot_{topo.replace(':', '_')}_sched.txt"
+                with open(path, "w") as f:
+                    f.write(text)
+                rep["sched_dump"] = path
         except Exception as e:
             rep = {"ok": False, "topology": topo, "err": repr(e)[:800]}
         rep["compile_s"] = round(time.perf_counter() - t0, 1)
@@ -327,15 +335,18 @@ def phase_project():
     def overhead_s(kind):
         """Per-step serial wire-compute overhead (quantize+pack+unpack,
         measured on the REAL pack path at this boundary — packbench seg
-        form; 1 feature-width exchange + 2L-2 hidden-width ones). The
-        pack halves are charged to EVERY mode — fp rows ride the same
-        machinery (round-4 fairness fix; the earlier synthetic probe
-        understated both)."""
+        form): 1 feature-width fwd exchange + L-1 hidden-width fwd ones +
+        L-1 hidden-width BWD ones (scatter-add unpack — measured
+        separately since round 5's fwd gather shortcut doesn't apply).
+        The pack halves are charged to EVERY mode — fp rows ride the same
+        machinery (round-4 fairness fix)."""
         if pb is None:
             return pas["quant_total_s"] if kind == "q8" else 0.0
         pre = "" if kind == "q8" else "fp_"
+        bwd_ms = pb.get(f"{pre}F256bwd_seg_ms", pb[f"{pre}F256_seg_ms"])
         return (pb[f"{pre}F100_seg_ms"]
-                + (2 * LAYERS - 2) * pb[f"{pre}F256_seg_ms"]) / 1e3
+                + (LAYERS - 1) * pb[f"{pre}F256_seg_ms"]
+                + (LAYERS - 1) * bwd_ms) / 1e3
 
     fp_ov = overhead_s("fp")
     q8_ov = overhead_s("q8")
@@ -422,13 +433,22 @@ def phase_packbench(iters=10):
     )
     fpw = wire_fp(plan, dims, LAYERS)
     report = {}
-    for label, (w, _) in (("F100", wires[0]), ("F256", wires[1]),
-                          ("fp_F100", fpw[0]), ("fp_F256", fpw[1])):
+    # fwd wires (unpack = gather into fresh halo, unique destinations) and
+    # the layer-1 BWD wire (unpack = scatter-ADD of returned cotangents
+    # into local rows — duplicate destinations, the gather shortcut does
+    # not apply; bwd exchanges are hidden-width only, layer 0 has no bwd)
+    cases = [("F100", wires[0][0], False), ("F256", wires[1][0], False),
+             ("F256bwd", wires[1][1], True),
+             ("fp_F100", fpw[0][0], False), ("fp_F256", fpw[1][0], False),
+             ("fp_F256bwd", fpw[1][1], True)]
+    for label, w, is_bwd in cases:
         wl = jax.tree.map(lambda a: np.asarray(a)[0], w)
-        n_src = int(lay.l_max)  # gather sources are local rows
         rng = np.random.default_rng(0)
-        f_pad = 128 if label.endswith("F100") else 256
-        f_true = F if label.endswith("F100") else HIDDEN
+        f_pad = 128 if "F100" in label else 256
+        f_true = F if "F100" in label else HIDDEN
+        # bwd direction: source rows are halo slots, dst are local rows
+        n_src = int(plan.r_pad if is_bwd else lay.l_max)
+        out_len = int(lay.l_max if is_bwd else plan.r_pad)
         src = jnp.asarray(rng.normal(size=(n_src, f_pad)).astype(np.float32))
         recv = jnp.asarray(
             rng.integers(0, 2**10, int(wl.rb_cap), dtype=np.int64
@@ -436,7 +456,8 @@ def phase_packbench(iters=10):
         )
         key = jax.random.PRNGKey(0)
         wdev = jax.tree.map(jnp.asarray, wl)
-        for form, seg in (("seg", True), ("row", False)):
+        forms = (("seg", True),) if is_bwd else (("seg", True), ("row", False))
+        for form, seg in forms:
             xr._FORCE_SEG = seg
             xr._FORCE_ROW_GRANULAR = None if seg else True
 
@@ -446,7 +467,7 @@ def phase_packbench(iters=10):
                     buf = xr.pack_dir(wdev, src, jax.random.fold_in(key, i),
                                       f_true)
                     out = xr.unpack_dir(
-                        wdev, recv + buf[0], plan.r_pad, False, f_true, f_pad,
+                        wdev, recv + buf[0], out_len, is_bwd, f_true, f_pad,
                     )
                     return carry + out.sum(dtype=jnp.float32)
 
@@ -490,10 +511,14 @@ def phase_mixed():
     pb = art.get("packbench")
     assert pb, "run --phase packbench on the chip first"
     # per-exchange wire-compute cost (ms), REAL pack path (seg form),
-    # measured per wire precision; a mixed assignment interpolates by its
-    # quantized-lane fraction
-    ov_q = {128: pb["F100_seg_ms"], 256: pb["F256_seg_ms"]}
-    ov_fp = {128: pb["fp_F100_seg_ms"], 256: pb["fp_F256_seg_ms"]}
+    # measured per wire precision AND direction (bwd unpack scatter-adds;
+    # round 5's fwd gather shortcut doesn't apply there); a mixed
+    # assignment interpolates by its quantized-lane fraction
+    ov_q = {(128, False): pb["F100_seg_ms"], (256, False): pb["F256_seg_ms"],
+            (256, True): pb.get("F256bwd_seg_ms", pb["F256_seg_ms"])}
+    ov_fp = {(128, False): pb["fp_F100_seg_ms"],
+             (256, False): pb["fp_F256_seg_ms"],
+             (256, True): pb.get("fp_F256bwd_seg_ms", pb["fp_F256_seg_ms"])}
 
     lay = load_layout(_layout_cache_key())
     assert lay is not None, "run --phase layout first"
@@ -528,6 +553,13 @@ def phase_mixed():
         ks = tf.shape[1]
         fwd_tr = np.empty((LAYERS,) + plan.send_idx.shape, np.float32)
         bwd_tr = np.empty((LAYERS, K, plan.r_pad), np.float32)
+        all_f = np.concatenate([
+            tf[l_, s, r, : cts[s, r]] for l_ in range(tf.shape[0])
+            for s in range(ks) for r in range(ks) if cts[s, r]])
+        all_b = np.concatenate([
+            tb[l_, s, : nrm[s]] for l_ in range(tb.shape[0])
+            for s in range(ks)])
+        all_f, all_b = all_f[all_f > 0], all_b[all_b > 0]
         for l in range(LAYERS):
             lsrc = min(l, tf.shape[0] - 1)
             pool_f = np.concatenate([
@@ -538,6 +570,12 @@ def phase_mixed():
                 [tb[lsrc, s, : nrm[s]] for s in range(ks)])
             pool_f = pool_f[pool_f > 0]
             pool_b = pool_b[pool_b > 0]
+            # layer 0 has no bwd wire, so its bwd trace is all-zero:
+            # fall back to the union pool
+            if len(pool_f) == 0:
+                pool_f = all_f
+            if len(pool_b) == 0:
+                pool_b = all_b
             fwd_tr[l] = rng.choice(pool_f, size=plan.send_idx.shape)
             bwd_tr[l] = rng.choice(pool_b, size=(K, plan.r_pad))
         trace_src = (f"bootstrap-resampled from {tr_path} "
@@ -612,7 +650,7 @@ def phase_mixed():
         ex = 0
         extra = 0.0
         for fwd, bwd in plans:
-            for d in (fwd, bwd):
+            for d, is_bwd in ((fwd, False), (bwd, True)):
                 if d is None:
                     continue
                 b = np.asarray(d.send_sz, np.float64) * 4.0
@@ -627,7 +665,8 @@ def phase_mixed():
                 t_wire += float(np.max(np.maximum(
                     0.0, per_chip - central[ex] / 1e3)))
                 w_e = 128 if ex == 0 else 256
-                extra += (qf * ov_q[w_e] + (1 - qf) * ov_fp[w_e]) / 1e3
+                key_e = (w_e, is_bwd)
+                extra += (qf * ov_q[key_e] + (1 - qf) * ov_fp[key_e]) / 1e3
                 ex += 1
         t = comp + extra + t_wire
         rows.append({"policy": name, "epoch_ms": round(t * 1e3),
