@@ -223,8 +223,10 @@ def _seg_unpack_dir(
     nb = len(w.bits)
     nslots = w.sg_rbase[0].shape[0] if nb else 0
     use_inv = (not scatter_add) and w.has_inv
+    use_sort = scatter_add and w.has_sort
     rows_parts = []
-    out = None if use_inv else jnp.zeros((out_len, f_pad), jnp.float32)
+    out = (None if (use_inv or use_sort)
+           else jnp.zeros((out_len, f_pad), jnp.float32))
     for bi, b in enumerate(w.bits):
         if w.sgd_rows[bi].shape[0] == 0:
             continue
@@ -273,7 +275,7 @@ def _seg_unpack_dir(
             pw = jnp.concatenate(pblocks, axis=0)
             rows = _words_to_rows(words, pw, b, f_true, w.fw[bi], f_pad)
             rows = rows[:n_real]  # drop the row-block junk extension
-        if use_inv:
+        if use_inv or use_sort:
             rows_parts.append(rows)
         else:
             ref = out.at[w.sgd_rows[bi]]
@@ -297,6 +299,18 @@ def _seg_unpack_dir(
             out = jnp.pad(out, ((0, out_len - out.shape[0]), (0, 0)))
         elif out.shape[0] > out_len:
             out = out[:out_len]
+    elif use_sort:
+        # bwd: permute the concatenated rows into destination order, then
+        # scatter-ADD with the sorted hint (2x the unsorted scatter on
+        # TPU, probe_r5.py); junk lanes sort to the end and drop
+        rows_cat = (rows_parts[0] if len(rows_parts) == 1
+                    else jnp.concatenate(rows_parts, axis=0))
+        out = jnp.zeros((out_len, f_pad), jnp.float32).at[
+            w.sgd_rows_sorted
+        ].add(
+            rows_cat[w.sgd_sort], mode="drop",
+            indices_are_sorted=True, unique_indices=False,
+        )
     return out
 
 

@@ -61,10 +61,11 @@ def _round8(x: int) -> int:
         "q_rows", "q_off", "q_poff", "in_off", "send_sz", "out_off",
         "recv_sz", "d_off", "d_poff", "d_rows",
         "sgq_rows", "sgd_rows", "sg_base", "sg_rbase", "sg_pbase",
-        "sg_rpbase", "sgd_inv",
+        "sg_rpbase", "sgd_inv", "sgd_sort", "sgd_rows_sorted",
     ],
     meta_fields=["bits", "wpr", "has_params", "fw", "sb_cap", "rb_cap",
-                 "slice_cap", "has_seg", "sg_cap", "sg_start", "has_inv"],
+                 "slice_cap", "has_seg", "sg_cap", "sg_start", "has_inv",
+                 "has_sort"],
 )
 @dataclasses.dataclass
 class WireDir:
@@ -106,6 +107,11 @@ class WireDir:
     # seg-lane row array (dummy [K, 8] when has_inv is False — zero-size
     # leaves break shard_map sharding)
     sgd_inv: np.ndarray
+    # bwd unpack sorted-scatter maps (duplicate destinations): permutation
+    # of the concatenated lane rows by destination, and the destinations in
+    # that order (dummy [K, 8] when has_sort is False)
+    sgd_sort: np.ndarray
+    sgd_rows_sorted: np.ndarray
     # static
     bits: Tuple[int, ...]
     wpr: Tuple[int, ...]
@@ -118,6 +124,7 @@ class WireDir:
     sg_cap: Tuple[Tuple[int, ...], ...]  # per bucket: per-slot lane caps
     sg_start: Tuple[Tuple[int, ...], ...]  # per bucket: slot prefix starts
     has_inv: bool  # sgd_inv is a real inverse map (unique destinations)
+    has_sort: bool  # sgd_sort/sgd_rows_sorted are real (duplicate dsts)
 
     def local(self) -> "WireDir":
         return jax.tree.map(lambda a: a[0], self)
@@ -370,7 +377,10 @@ def _build_dir(
     # (jit cache hit) — bases stay exact per assignment (traced data).
     has_seg = True
     has_inv = False
+    has_sort = False
     sgd_inv = np.zeros((k, 8), np.int32)
+    sgd_sort = np.zeros((k, 8), np.int32)
+    sgd_rows_sorted = np.zeros((k, 8), np.int32)
     sgq_rows: Tuple = ()
     sgd_rows: Tuple = ()
     sg_base: Tuple = ()
@@ -456,9 +466,8 @@ def _build_dir(
                 )
             d = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
             p = np.concatenate(poss) if poss else np.zeros(0, np.int64)
-            if len(d) and len(np.unique(d)) != len(d):
+            if unique_ok and len(d) and len(np.unique(d)) != len(d):
                 unique_ok = False  # bwd wires: duplicate dst -> scatter-add
-                break
             per_sh.append((d, p))
             if len(d):
                 dmax = max(dmax, int(d.max()))
@@ -468,6 +477,22 @@ def _build_dir(
             sgd_inv = np.full((k, inv_len), S_tot, np.int32)
             for wr, (d, p) in enumerate(per_sh):
                 sgd_inv[wr, d] = p.astype(np.int32)
+        elif dmax >= 0 and S_tot:
+            # duplicate destinations (bwd wires): precompute a destination-
+            # SORTED permutation of the concatenated lane rows so the
+            # runtime scatter-ADD can pass indices_are_sorted (2x on TPU:
+            # 14.5 vs 28.4 ms at the products boundary, probe_r5.py).
+            # _PAD junk sorts to the end (it exceeds every real row) and
+            # still drops.
+            has_sort = True
+            sgd_sort = np.zeros((k, S_tot), np.int32)
+            sgd_rows_sorted = np.full((k, S_tot), _PAD, np.int32)
+            for wr, (d, p) in enumerate(per_sh):
+                cat = np.full((S_tot,), np.int64(_PAD))
+                cat[p] = d
+                order = np.argsort(cat, kind="stable").astype(np.int32)
+                sgd_sort[wr] = order
+                sgd_rows_sorted[wr] = cat[order].astype(np.int32)
 
         sgq_rows = tuple(sgq_rows)
         sgd_rows = tuple(sgd_rows)
@@ -495,6 +520,9 @@ def _build_dir(
         sg_rpbase=sg_rpbase,
         sgd_inv=sgd_inv,
         has_inv=has_inv,
+        sgd_sort=sgd_sort,
+        sgd_rows_sorted=sgd_rows_sorted,
+        has_sort=has_sort,
         bits=tuple(int(b) for b in bits_set),
         wpr=tuple(wpr),
         has_params=has_params,

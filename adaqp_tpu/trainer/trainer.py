@@ -234,7 +234,12 @@ class Trainer:
         self.val_count = float(self.graph.val_mask.sum())
         self.test_count = float(self.graph.test_mask.sum())
 
-        if cfg.spmm_impl in ("block", "compact", "strip") and cfg.hidden_dim % 128:
+        from ..common.backend import tpu_path as _tpu_path
+
+        if (cfg.spmm_impl in ("block", "compact", "strip")
+                and cfg.hidden_dim % 128 and _tpu_path()):
+            # TPU-only: on CPU meshes (tests, dryrun) the portable twin is
+            # the normal path and this warning is noise (round-5 hygiene)
             logger.warning(
                 "hidden_dim=%d is not a 128-lane multiple: on TPU the "
                 "bitmask-MXU kernel falls back to the slow portable tile "

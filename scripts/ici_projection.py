@@ -199,78 +199,66 @@ def main():
             print(f"  {label:5s} egress/chip MB: {np.round(eg / 1e6, 1).tolist()}"
                   f"  total {eg.sum() / 1e6:.1f} MB/step")
 
-    # ---- measured quant cost on the chip (uniform 8-bit, both widths) ----
-    # The kernel must be timed INSIDE one jit (fori_loop over applications):
-    # each dispatch through the axon tunnel costs ~28 ms of round-trip
-    # latency that a real train step (one dispatch per epoch) never pays.
+    # ---- measured wire-compute cost on the chip: the REAL pack path ----
+    # (round-5 re-base, VERDICT r4 #7: the earlier synthetic row-granular
+    # probe no longer matches the shipped capped-segment path.) Times
+    # pack_dir + unpack_dir per exchange on the actual K=4 wires — fwd
+    # exchanges gather-decode, bwd scatter-adds — for BOTH q8 and fp32
+    # (Vanilla rides the same machinery; mode-fair accounting).
     quant_s = 0.0
+    fp_s = 0.0
     if not args.no_quant:
         import jax
         import jax.numpy as jnp
-        from adaqp_tpu.comm.wire import words_per_row
-        from adaqp_tpu.ops.quant_pallas import (dequantize_rows_tpu,
-                                                quantize_rows_tpu)
-        print(f"\nquant cost on {jax.devices()[0].device_kind}:")
-        plan = rows["random"]["plan"]  # worst-case boundary
-        s_rows = int(plan.counts.sum(axis=1).max())
-        s_pad = -(-s_rows // 1024) * 1024
+        from adaqp_tpu.comm import exchange_ragged as xr
+        print(f"\nwire-compute cost on {jax.devices()[0].device_kind} "
+              f"(real pack path, seg form):")
+        r = rows["random"]  # worst-case boundary
+        plan, lay = r["plan"], r["lay"]
         reps = 20
         rng = np.random.default_rng(1)
-        # 2L-1 exchanges total: fwd carries [F, H, H...], bwd [H, H...] —
-        # one feature-width exchange + (2L-2) hidden-width ones
-        for f_pad, f_true, n_ex in ((640, F, 1), (256, HIDDEN, 2 * LAYERS - 2)):
-            x0 = jnp.asarray(rng.normal(size=(s_pad, f_pad)).astype(np.float32))
+        totals = {"q8": 0.0, "fp": 0.0}
+        for kind in ("q8", "fp"):
+            # 2L-1 exchanges: 1 feature-width fwd + (L-1) hidden fwd +
+            # (L-1) hidden bwd (scatter-add)
+            cases = ((r[kind][0][0], False, 640, F, 1),
+                     (r[kind][1][0], False, 256, HIDDEN, LAYERS - 1),
+                     (r[kind][1][1], True, 256, HIDDEN, LAYERS - 1))
+            for w, is_bwd, f_pad, f_true, n_ex in cases:
+                wl = jax.tree.map(lambda a: np.asarray(a)[0], w)
+                n_src = int(plan.r_pad if is_bwd else lay.l_max)
+                out_len = int(lay.l_max if is_bwd else plan.r_pad)
+                src = jnp.asarray(
+                    rng.normal(size=(n_src, f_pad)).astype(np.float32))
+                recv = jnp.asarray(rng.integers(
+                    0, 2**10, int(wl.rb_cap), dtype=np.int64
+                ).astype(np.uint32))
+                key = jax.random.PRNGKey(0)
+                wdev = jax.tree.map(jnp.asarray, wl)
 
-            @jax.jit
-            def loop(x, f_true=f_true):
-                def body(i, x):
-                    q, sc, rm = quantize_rows_tpu(x, 8, i, f_true=f_true)
-                    return dequantize_rows_tpu(q, sc, rm)
+                @jax.jit
+                def loop(src, recv, wdev, f_true=f_true, f_pad=f_pad,
+                         is_bwd=is_bwd, out_len=out_len):
+                    def body(i, carry):
+                        buf = xr.pack_dir(
+                            wdev, src, jax.random.fold_in(key, i), f_true)
+                        out = xr.unpack_dir(
+                            wdev, recv + buf[0], out_len, is_bwd, f_true,
+                            f_pad)
+                        return carry + out.sum(dtype=jnp.float32)
 
-                return jax.lax.fori_loop(0, reps, body, x)
+                    return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
 
-            out = loop(x0)
-            _ = float(out.reshape(-1)[0])  # force through the lazy tunnel
-            t0 = time.perf_counter()
-            out = loop(x0)
-            _ = float(out.reshape(-1)[0])
-            dt = (time.perf_counter() - t0) / reps
-
-            # wire pack/unpack: ROW-granular scatter into / gather out of the
-            # flat word buffer (the aligned layout's runtime form,
-            # comm/exchange_ragged.py) at this exchange's true lane shape
-            wpr = words_per_row(f_true, 8)
-            words = jnp.asarray(
-                rng.integers(0, 2**31, (s_pad, wpr), dtype=np.int64).astype(np.uint32)
-            )
-            off = np.arange(s_pad, dtype=np.int32)
-            np.random.default_rng(2).shuffle(off)
-            off = jnp.asarray(off)
-
-            @jax.jit
-            def pack_loop(words, off):
-                def body(i, carry):
-                    buf = (
-                        jnp.zeros((s_pad, wpr), jnp.uint32)
-                        .at[off].set(words, mode="drop")
-                    )
-                    back = buf[off]
-                    return carry + back.sum(dtype=jnp.uint32)
-
-                return jax.lax.fori_loop(
-                    0, reps, body, jnp.zeros((), jnp.uint32)
-                ).reshape(1)
-
-            out = pack_loop(words, off)
-            _ = float(out[0])
-            t0 = time.perf_counter()
-            out = pack_loop(words, off)
-            _ = float(out[0])
-            dp = (time.perf_counter() - t0) / reps
-            print(f"  [{s_pad} x {f_pad}] quant+dequant {dt * 1e3:.2f} ms + "
-                  f"pack+unpack {dp * 1e3:.2f} ms (x{n_ex} exchanges)")
-            quant_s += (dt + dp) * n_ex
-        print(f"  total quant+pack per step: {quant_s * 1e3:.1f} ms")
+                _ = float(loop(src, recv, wdev))
+                t0 = time.perf_counter()
+                _ = float(loop(src, recv, wdev))
+                dt = (time.perf_counter() - t0) / reps
+                d = "bwd" if is_bwd else "fwd"
+                print(f"  {kind:3s} [{f_pad} {d}] pack+unpack "
+                      f"{dt * 1e3:.2f} ms (x{n_ex})")
+                totals[kind] += dt * n_ex
+        quant_s, fp_s = totals["q8"], totals["fp"]
+        print(f"  per step: q8 {quant_s * 1e3:.1f} ms, fp {fp_s * 1e3:.1f} ms")
 
     # ---- projection ----
     comp = ONE_CHIP_EPOCH_S / K
@@ -296,9 +284,9 @@ def main():
     for name, r in rows.items():
         central = central_ms_per_exchange(r["lay"], dims_true, HIDDEN)
         for link, bw in LINKS.items():
-            t_v = comp + sum(exchange_makespans(r["fp"])) / bw
+            t_v = comp + sum(exchange_makespans(r["fp"])) / bw + fp_s
             t_q = comp + sum(exchange_makespans(r["q8"])) / bw + quant_s
-            t_p = t_overlap(exchange_chip_bytes(r["fp"]), central, bw, 0.0)
+            t_p = t_overlap(exchange_chip_bytes(r["fp"]), central, bw, fp_s)
             t_qp = t_overlap(exchange_chip_bytes(r["q8"]), central, bw, quant_s)
             print(f"{name:12s} {link:14s} {t_v * 1e3:8.0f}ms {t_q * 1e3:8.0f}ms "
                   f"{t_p * 1e3:8.0f}ms {t_qp * 1e3:8.0f}ms "
