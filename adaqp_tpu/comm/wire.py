@@ -237,7 +237,13 @@ def _build_dir(
         bucket (one buffer view each) instead of interleaving data and
         params per slot (round 4's healing order cost a [*, wpr] <->
         flat relayout per slot, ~24 ms/exchange at the products
-        boundary). Shipped bytes stay EXACT (send_sz)."""
+        boundary). Shipped bytes stay EXACT (send_sz). Cost: sb_cap is
+        sum-of-caps (max over shards per slot) instead of max-shard
+        exact — +15-18% HBM at the products LDG partition (measured; the
+        v5e:2x4 products compile still fits at 11.8 GB temps of 16 GB);
+        heavier partition skew pays proportionally more. Recv-side
+        spacing stays exact (the a2a writes real sizes; capped unpack
+        READS may spill into the next slice, which is junk-safe)."""
         j = peers[ws].index(wr)
         w = sum(cap_mat[bi][j] * wpr[bi] + (wpr[bi] - 1) for bi in range(nb))
         if has_params:

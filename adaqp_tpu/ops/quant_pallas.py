@@ -30,16 +30,6 @@ ROW_BLOCK = 256
 _RANGE_EPS = 1e-10
 
 
-def lane_row_block(wpr: int) -> int:
-    """Row block for the lane-row (``[N*wpr//128, 128]``) word layout: the
-    smallest multiple of ROW_BLOCK whose word count is a whole number of
-    (8, 128) u32 tiles (Mosaic block shapes need sublane % 8 == 0)."""
-    import math
-
-    need = 1024 // math.gcd(wpr, 1024)  # smallest pow2 with need*wpr % 1024 == 0
-    return max(ROW_BLOCK, need)  # both powers of two >= 256
-
-
 def _quant_kernel(bits: int, f_true: int, seed_ref, x_ref, q_ref, scale_ref, rmin_ref):
     # Decorrelate blocks by passing the grid position as a second seed word
     # (the TPU PRNG hashes all seed words; adjacent integer seeds would
@@ -111,8 +101,8 @@ def quantize_rows_tpu(
 
 
 def _quant_pack_kernel(
-    bits: int, f_true: int, f_wire: int, lane_rows: bool, seed_ref, x_ref,
-    w_ref, scale_ref, rmin_ref,
+    bits: int, f_true: int, f_wire: int, seed_ref, x_ref, w_ref, scale_ref,
+    rmin_ref,
 ):
     """Fused quantize + word-pack: f32 rows -> u32 wire words in one VMEM
     pass. The word-interleaved layout (``quant.pack_words``) makes each
@@ -148,21 +138,13 @@ def _quant_pack_kernel(
     w = qs[:, 0:wpr]
     for t in range(1, m):
         w = w | qs[:, t * wpr : (t + 1) * wpr]
-    w = pltpu.bitcast(w, jnp.uint32)
-    if lane_rows:
-        # emit words as whole 128-lane rows: a [N, wpr] u32 array with
-        # wpr % 128 != 0 is lane-PADDED in HBM (up to 5x the bytes at
-        # wpr=25) and poisons every downstream DUS/gather (round-5
-        # packsplit); the VMEM-local relayout here is noise by comparison
-        w = w.reshape(-1, 128)
-    w_ref[:] = w
+    w_ref[:] = pltpu.bitcast(w, jnp.uint32)
     scale_ref[:] = scale
     rmin_ref[:] = rmin
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("bits", "f_wire", "interpret", "f_true", "lane_rows"),
+    jax.jit, static_argnames=("bits", "f_wire", "interpret", "f_true")
 )
 def quantize_pack_rows_tpu(
     x: jnp.ndarray,
@@ -171,7 +153,6 @@ def quantize_pack_rows_tpu(
     f_wire: int,
     interpret: bool = False,
     f_true: Optional[int] = None,
-    lane_rows: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Quantize + pack rows of ``x`` [N, F] (N % ROW_BLOCK == 0) into the
     word-interleaved wire format.
@@ -179,27 +160,22 @@ def quantize_pack_rows_tpu(
     Returns ``(words u32 [N, f_wire*bits/32], scale f32 [N], rmin f32 [N])``
     — ``words`` equals ``quant.pack_words(q[:, :f_wire], bits)`` for the
     codes ``q`` this kernel's PRNG stream draws (same stream as
-    :func:`quantize_rows_tpu`).
-
-    ``lane_rows=True``: words come back as ``u32 [N*wpr//128, 128]`` —
-    row-major flattening in whole 128-lane rows, the HBM-native shape the
-    wire buffers use (no lane padding; see ``comm/wire.py``)."""
+    :func:`quantize_rows_tpu`)."""
     n, f = x.shape
     m = 32 // bits
     if f_wire % m or f_wire > f:
         raise ValueError(f"f_wire={f_wire} invalid for bits={bits}, F={f}")
     wpr = f_wire * bits // 32
-    rb = lane_row_block(wpr) if lane_rows else ROW_BLOCK
+    rb = ROW_BLOCK
     if n % rb:
         raise ValueError(f"row count {n} must be a multiple of {rb}")
     grid = (n // rb,)
-    w_block = (rb * wpr // 128, 128) if lane_rows else (rb, wpr)
-    w_shape = (n * wpr // 128, 128) if lane_rows else (n, wpr)
+    w_block = (rb, wpr)
+    w_shape = (n, wpr)
     seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
     w, scale, rmin = pl.pallas_call(
         functools.partial(
-            _quant_pack_kernel, bits, f if f_true is None else f_true,
-            f_wire, lane_rows,
+            _quant_pack_kernel, bits, f if f_true is None else f_true, f_wire
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -224,16 +200,13 @@ def quantize_pack_rows_tpu(
 
 
 def _unpack_dequant_kernel(
-    bits: int, f_true: int, f_wire: int, f_pad: int, lane_rows: bool,
-    w_ref, scale_ref, rmin_ref, out_ref
+    bits: int, f_true: int, f_wire: int, f_pad: int, w_ref, scale_ref,
+    rmin_ref, out_ref
 ):
     """Fused word-unpack + dequantize: u32 wire words -> f32 rows, columns
     >= f_true zeroed, zero-padded to f_pad. Arithmetic-shift-then-mask is
     exact for every slot (the mask strips sign-extension bits)."""
-    wpr_ = f_wire * bits // 32
     w = pltpu.bitcast(w_ref[:], jnp.int32)
-    if lane_rows:
-        w = w.reshape(-1, wpr_)  # [blk*wpr//128, 128] -> [blk, wpr]
     scale = scale_ref[:].astype(jnp.float32)
     rmin = rmin_ref[:].astype(jnp.float32)
     m = 32 // bits
@@ -254,9 +227,7 @@ def _unpack_dequant_kernel(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("bits", "f_true", "f_wire", "f_pad", "interpret",
-                     "lane_rows"),
+    jax.jit, static_argnames=("bits", "f_true", "f_wire", "f_pad", "interpret")
 )
 def unpack_dequantize_rows_tpu(
     w: jnp.ndarray,
@@ -267,32 +238,23 @@ def unpack_dequantize_rows_tpu(
     f_wire: int,
     f_pad: int,
     interpret: bool = False,
-    lane_rows: bool = False,
 ) -> jnp.ndarray:
     """(u32 words [N, wpr], f32 scale/rmin [N]) -> f32 rows [N, f_pad].
 
     Inverse of :func:`quantize_pack_rows_tpu` + the portable dequant
-    semantics (``x = q/scale + rmin``, cols >= f_true zeroed).
-
-    ``lane_rows=True``: ``w`` is ``u32 [N*wpr//128, 128]`` (row-major
-    lane-row flattening, the wire-buffer-native shape)."""
+    semantics (``x = q/scale + rmin``, cols >= f_true zeroed)."""
     wpr = f_wire * bits // 32
-    if lane_rows:
-        if w.shape != ((w.shape[0], 128)) or w.shape[0] * 128 % wpr:
-            raise ValueError(f"lane-row words {w.shape} invalid for wpr={wpr}")
-        n = w.shape[0] * 128 // wpr
-    else:
-        n = w.shape[0]
-        if w.shape[1] != wpr:
-            raise ValueError(f"f_wire={f_wire} inconsistent with wpr={w.shape[1]}")
-    rb = lane_row_block(wpr) if lane_rows else ROW_BLOCK
+    n = w.shape[0]
+    if w.shape[1] != wpr:
+        raise ValueError(f"f_wire={f_wire} inconsistent with wpr={w.shape[1]}")
+    rb = ROW_BLOCK
     if n % rb:
         raise ValueError(f"row count {n} must be a multiple of {rb}")
     grid = (n // rb,)
-    w_block = (rb * wpr // 128, 128) if lane_rows else (rb, wpr)
+    w_block = (rb, wpr)
     return pl.pallas_call(
         functools.partial(
-            _unpack_dequant_kernel, bits, f_true, f_wire, f_pad, lane_rows
+            _unpack_dequant_kernel, bits, f_true, f_wire, f_pad
         ),
         grid=grid,
         in_specs=[

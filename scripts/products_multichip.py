@@ -579,7 +579,8 @@ def phase_mixed():
             fwd_tr[l] = rng.choice(pool_f, size=plan.send_idx.shape)
             bwd_tr[l] = rng.choice(pool_b, size=(K, plan.r_pad))
         trace_src = (f"bootstrap-resampled from {tr_path} "
-                     f"(real adaptive run, pools {len(pool_f)}/{len(pool_b)})")
+                     f"(real adaptive run, union pools "
+                     f"{len(all_f)}/{len(all_b)})")
         log(f"traces: {trace_src}")
     else:
         fwd_tr = rng.uniform(
